@@ -1,0 +1,178 @@
+"""Date normalization — byte-exact re-spec of the reference's ``clean_date``.
+
+The reference (utils/service_utils.py:105-163) never parses dates into real
+timestamps: it is a pure regex string normalizer producing
+``"dd/MM/yyyy, HH:mm (GMT+7)"``.  Range queries in the reference compare these
+*strings* ($gte/$lte in mongodb_utils.py:99-106) — which only works because the
+format is zero-padded.  We replicate that exactly, and additionally expose a
+typed ``published_ts`` derivation for real range queries.
+
+Two implementations, both tested against shared golden vectors:
+
+- :func:`clean_date_py` — the executable spec (used by the pure-Python oracle).
+- :func:`clean_date_col` — the same pipeline as Spark *column expressions*
+  (regexp_replace / regexp_extract / when), i.e. JVM-side, codegen'd, no UDF.
+
+Java regex notes: Vietnamese letters need the UNICODE_CHARACTER_CLASS flag for
+``\\w``, spelled ``(?U)`` (Python's ``re`` is unicode-aware by default).
+NFC normalization (reference line 108) has no Spark builtin; the engine's
+synthetic inputs are generated NFC-normalized, and the oracle asserts golden
+equality with the Python version which does normalize.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Python spec (mirrors /root/reference/utils/service_utils.py:105-163 exactly)
+# ---------------------------------------------------------------------------
+
+
+def clean_date_py(text_date: str) -> str:
+    """Normalize a raw Vietnamese news date string.  Executable spec."""
+    text_date = unicodedata.normalize("NFC", text_date)
+    text_date = re.sub(r"^Cập nhật lúc\s*", "", text_date, flags=re.IGNORECASE).strip()
+    text_date = re.sub(
+        r"(Thứ\s\w+|Chủ\sNhật)[,\s-]*(ngày\s*)?", "", text_date, flags=re.IGNORECASE
+    ).strip()
+    text_date = re.sub(r"\s*lúc\s*", " ", text_date, flags=re.IGNORECASE)
+    text_date = re.sub(r"\(GMT\)", "", text_date)
+    text_date = text_date.replace(" - ", ", ").replace(" -", ",").replace("- ", ",")
+
+    # time-first form: "HH:mm[,] dd/MM/yyyy" -> whole string rewritten
+    match = re.search(r"(\d{1,2}):(\d{2})\s*,?\s*(\d{1,2})/(\d{1,2})/(\d{4})", text_date)
+    if match:
+        hour, minute, day, month, year = match.groups()
+        text_date = f"{int(day):02}/{int(month):02}/{year}, {int(hour):02}:{minute}"
+    else:
+        match_date = re.search(r"(\d{1,2})/(\d{1,2})/(\d{4})", text_date)
+        if match_date:
+            day, month, year = match_date.groups()
+            text_date = text_date.replace(
+                match_date.group(), f"{int(day):02}/{int(month):02}/{year}"
+            )
+        match_time = re.search(r"(\d{1,2}):(\d{2})\s?(AM|PM)?", text_date, re.IGNORECASE)
+        if match_time:
+            hour_s, minute, period = match_time.groups()
+            hour = int(hour_s)
+            if period:
+                if period.upper() == "PM" and hour != 12:
+                    hour += 12
+                elif period.upper() == "AM" and hour == 12:
+                    hour = 0
+            # NB: the reference replaces EVERY time occurrence with the FIRST
+            # match's normalized value — a quirk we replicate.
+            text_date = re.sub(
+                r"(\d{1,2}):(\d{2})\s?(AM|PM)?", f"{hour:02}:{minute}", text_date
+            )
+        text_date = re.sub(r"(\d{2}/\d{2}/\d{4})\s+(\d{2}:\d{2})", r"\1, \2", text_date)
+
+    match_timezone = re.search(
+        r"(\d{2}/\d{2}/\d{4})\s*(\d{2}:\d{2}):\d{2}\s*\+?\d{1,2}:\d{2}", text_date
+    )
+    if match_timezone:
+        date_part, time_part = match_timezone.groups()
+        text_date = f"{date_part}, {time_part} (GMT+7)"
+
+    text_date = re.sub(r"(:\d{2})\s?\+?\d{1,2}:\d{2}", "", text_date)
+    text_date = re.sub(r"(?<!\s)\(GMT\+7\)", r" (GMT+7)", text_date)
+    if "(GMT+7)" not in text_date:
+        text_date += " (GMT+7)"
+    return text_date
+
+
+# ---------------------------------------------------------------------------
+# Spark column-expression version (JVM-side, whole-stage-codegen'd)
+# ---------------------------------------------------------------------------
+
+_TIME_FIRST = r"(\d{1,2}):(\d{2})\s*,?\s*(\d{1,2})/(\d{1,2})/(\d{4})"
+_DATE = r"(\d{1,2})/(\d{1,2})/(\d{4})"
+_TIME_AMPM = r"(?i)(\d{1,2}):(\d{2})\s?(AM|PM)?"
+_TZ_COMBO = r"(\d{2}/\d{2}/\d{4})\s*(\d{2}:\d{2}):\d{2}\s*\+?\d{1,2}:\d{2}"
+
+
+def _pad2(c: Column) -> Column:
+    return F.lpad(c.cast("string"), 2, "0")
+
+
+def clean_date_col(col: Column) -> Column:
+    """``clean_date`` as a pure column-expression pipeline (no UDF).
+
+    Input is expected NFC-normalized (guaranteed for engine-internal data).
+    """
+    t = F.regexp_replace(col, r"(?i)^Cập nhật lúc\s*", "")
+    t = F.trim(t)
+    # (?U) so \w matches Vietnamese letters under Java regex.
+    t = F.regexp_replace(t, r"(?iU)(Thứ\s\w+|Chủ\sNhật)[,\s-]*(ngày\s*)?", "")
+    t = F.trim(t)
+    t = F.regexp_replace(t, r"(?i)\s*lúc\s*", " ")
+    t = F.regexp_replace(t, r"\(GMT\)", "")
+    t = F.replace(t, F.lit(" - "), F.lit(", "))
+    t = F.replace(t, F.lit(" -"), F.lit(","))
+    t = F.replace(t, F.lit("- "), F.lit(","))
+
+    # --- branch: time-first form rewrites the whole string -----------------
+    tf_hour = F.regexp_extract(t, _TIME_FIRST, 1)
+    tf_min = F.regexp_extract(t, _TIME_FIRST, 2)
+    tf_day = F.regexp_extract(t, _TIME_FIRST, 3)
+    tf_mon = F.regexp_extract(t, _TIME_FIRST, 4)
+    tf_year = F.regexp_extract(t, _TIME_FIRST, 5)
+    time_first = F.concat(
+        _pad2(tf_day), F.lit("/"), _pad2(tf_mon), F.lit("/"), tf_year,
+        F.lit(", "), _pad2(tf_hour), F.lit(":"), tf_min,
+    )
+
+    # --- else branch: pad the date in place, normalize AM/PM time ----------
+    d_day = F.regexp_extract(t, _DATE, 1)
+    d_mon = F.regexp_extract(t, _DATE, 2)
+    d_year = F.regexp_extract(t, _DATE, 3)
+    date_match = F.regexp_extract(t, _DATE, 0)
+    padded_date = F.concat(_pad2(d_day), F.lit("/"), _pad2(d_mon), F.lit("/"), d_year)
+    t_else = F.when(date_match != "", F.replace(t, date_match, padded_date)).otherwise(t)
+
+    a_hour = F.regexp_extract(t_else, _TIME_AMPM, 1)
+    a_min = F.regexp_extract(t_else, _TIME_AMPM, 2)
+    a_period = F.upper(F.regexp_extract(t_else, _TIME_AMPM, 3))
+    hour24 = (
+        F.when((a_period == "PM") & (a_hour.cast("int") != 12), a_hour.cast("int") + 12)
+        .when((a_period == "AM") & (a_hour.cast("int") == 12), F.lit(0))
+        .otherwise(a_hour.cast("int"))
+    )
+    norm_time = F.concat(_pad2(hour24), F.lit(":"), a_min)
+    t_else = F.when(
+        a_hour != "",
+        # replace EVERY time occurrence with the first match's value (quirk)
+        F.regexp_replace(t_else, _TIME_AMPM, norm_time),
+    ).otherwise(t_else)
+    t_else = F.regexp_replace(t_else, r"(\d{2}/\d{2}/\d{4})\s+(\d{2}:\d{2})", r"$1, $2")
+
+    t = F.when(tf_hour != "", time_first).otherwise(t_else)
+
+    # --- timezone-combo form rewrites the whole string ---------------------
+    tz_date = F.regexp_extract(t, _TZ_COMBO, 1)
+    tz_time = F.regexp_extract(t, _TZ_COMBO, 2)
+    t = F.when(
+        tz_date != "", F.concat(tz_date, F.lit(", "), tz_time, F.lit(" (GMT+7)"))
+    ).otherwise(t)
+
+    t = F.regexp_replace(t, r"(:\d{2})\s?\+?\d{1,2}:\d{2}", "")
+    t = F.regexp_replace(t, r"(?<!\s)\(GMT\+7\)", " (GMT+7)")
+    t = F.when(~t.contains("(GMT+7)"), F.concat(t, F.lit(" (GMT+7)"))).otherwise(t)
+    return t
+
+
+def published_ts_col(clean: Column) -> Column:
+    """Typed timestamp derived from the normalized string (engine addition).
+
+    The reference only ever compares the strings; we also offer a real
+    timestamp for range queries and window aggregation.
+    """
+    return F.to_timestamp(
+        F.regexp_extract(clean, r"(\d{2}/\d{2}/\d{4}, \d{2}:\d{2})", 1),
+        "dd/MM/yyyy, HH:mm",
+    )

@@ -1,0 +1,186 @@
+"""Per-profile article/listing parsers — the parse spec.
+
+Pure functions ``html -> record`` mirroring the four representative reference
+parser families (SURVEY.md §2.3).  They are used in two places:
+
+- the pure-Python oracle (single-threaded, the correctness spec), and
+- the vectorized parse vUDF (operators/parse.py) which maps them over Arrow
+  batches (batch-level Python, no per-row Spark serialization).
+
+Reference quirks replicated deliberately:
+
+- vnx: author is popped off the last content paragraph (vnexpress.py:190-193);
+  content joined with "," (vnexpress.py:242); empty comments default to
+  ``[""]`` (vnexpress.py:243).
+- dtr: sentinel strings for missing desc/date/author (dantri.py:241,248,258);
+  content joined with "\\n" (dantri.py:245).
+- btt: text+image walk in true document order (baothanhtra.py:152-162), but
+  images then order-destroyed via ``list(set(...))`` (baothanhtra.py:163) —
+  Python set order is run-dependent, so the spec pins the deterministic
+  canonicalization ``sorted(set(...))``; content joined with " "
+  (baothanhtra.py:165).
+- vnn: all-or-nothing null guard title∧desc∧content (vietnamnet.py:162-163);
+  relative image hrefs absolutized against the host base and data: URIs
+  skipped (vietnamnet.py:146-157); comments default ``[]``.
+"""
+
+from __future__ import annotations
+
+import re
+
+_RE_TITLE = re.compile(r'<h1 class="title-detail">(.*?)</h1>')
+_RE_DESC = re.compile(r'<p class="description">(.*?)</p>')
+_RE_DATE = re.compile(r'<span class="date">(.*?)</span>')
+_RE_AUTHOR = re.compile(r'<div class="author-name">(.*?)</div>')
+_RE_OG_IMAGE = re.compile(r'<meta property="og:image" content="(.*?)"/>')
+_RE_BODY = re.compile(r'<article class="content-body">(.*?)</article>', re.S)
+_RE_WALK = re.compile(
+    r'<p class="Normal">(.*?)</p>'
+    r'|<img class="lazy" data-src="(.*?)"/>'
+    r'|<img src="(.*?)"/>'
+    r'|<img data-original="(.*?)"/>',
+    re.S,
+)
+_RE_COMMENT = re.compile(r'<div class="comment_content">(.*?)</div>')
+_RE_ANCHOR = re.compile(r'<h3 class="title-news"><a href="(.*?)">')
+
+
+def _walk_body(html: str) -> list[tuple[str, str]]:
+    """In-order (kind, value) walk of the article body: text paras + img refs."""
+    m = _RE_BODY.search(html)
+    if not m:
+        return []
+    out: list[tuple[str, str]] = []
+    for mm in _RE_WALK.finditer(m.group(1)):
+        para, lazy, src, orig = mm.groups()
+        if para is not None:
+            out.append(("text", para))
+        elif lazy is not None:
+            out.append(("image", lazy))
+        elif src is not None:
+            out.append(("image", src))
+        else:
+            out.append(("image", orig))
+    return out
+
+
+def _first(rx: re.Pattern, html: str) -> str | None:
+    m = rx.search(html)
+    return m.group(1) if m else None
+
+
+def make_spans(texts: list[str], images: list[str]) -> list[dict]:
+    """Span sequence: text spans in doc order, then image spans (§1.4)."""
+    spans = [
+        {"kind": "text", "text": t, "media_ref": None, "offset": i}
+        for i, t in enumerate(texts)
+    ]
+    base = len(spans)
+    spans += [
+        {"kind": "image", "text": None, "media_ref": u, "offset": base + i}
+        for i, u in enumerate(images)
+    ]
+    return spans
+
+
+def parse_article(html: str, profile: str, base_url: str) -> dict | None:
+    """Parse an article page.  Returns None when the profile's null guard drops it.
+
+    Output keys: title, description, content, pub_date_raw, author, imageUrl,
+    comments, contentImageUrls, spans.
+    """
+    title = _first(_RE_TITLE, html)
+    if title is None:
+        return None  # null-title drop (base_crawler.py:53-56) — all profiles
+    desc = _first(_RE_DESC, html)
+    date_raw = _first(_RE_DATE, html)
+    hero = _first(_RE_OG_IMAGE, html)
+    walk = _walk_body(html)
+
+    if profile == "vnx":
+        paras = [v for k, v in walk if k == "text"]
+        images = [v for k, v in walk if k == "image"]
+        author = paras[-1].strip() if paras else None
+        if paras:
+            paras = paras[:-1]  # author pop (vnexpress.py:190-193)
+        comments = [c.strip() for c in _RE_COMMENT.findall(html)]
+        return {
+            "title": title,
+            "description": desc,
+            "content": ",".join(paras),
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author,
+            "imageUrl": hero,
+            "comments": comments if comments else [""],
+            "contentImageUrls": images,
+            "spans": make_spans(paras, images),
+        }
+
+    if profile == "dtr":
+        paras = [v.strip() for k, v in walk if k == "text"]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR, html)
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else "Không tìm thấy mô tả",
+            "content": "\n".join(paras) if paras else None,
+            "pub_date_raw": date_raw.strip() if date_raw else "Không tìm thấy ngày đăng",
+            "author": author.strip() if author else "Không rõ tác giả",
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "spans": make_spans(paras, images),
+        }
+
+    if profile == "btt":
+        paras = [v.strip() for k, v in walk if k == "text" and v.strip()]
+        collected = [v for k, v in walk if k == "image" and "http" in v]
+        images = sorted(set(collected))  # deterministic stand-in for list(set())
+        author = _first(_RE_AUTHOR, html)
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else None,
+            "content": " ".join(paras),
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author.strip() if author else None,
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "spans": make_spans(paras, images),
+        }
+
+    if profile == "vnn":
+        paras = [v for k, v in walk if k == "text"]
+        content = ",".join(paras)
+        if not (title and desc and walk):  # all-or-nothing (vietnamnet.py:162-163)
+            return None
+        images = []
+        for k, v in walk:
+            if k != "image" or v.startswith("data:image"):
+                continue
+            images.append(base_url + v if v.startswith("/") else v)
+        author = _first(_RE_AUTHOR, html)
+        comments = [c.strip() for c in _RE_COMMENT.findall(html)]
+        return {
+            "title": title,
+            "description": desc,
+            "content": content,
+            "pub_date_raw": date_raw.strip() if date_raw else "Không có thông tin",
+            "author": author.strip() if author else "",
+            "imageUrl": hero if hero else "Không có ảnh",
+            "comments": comments,
+            "contentImageUrls": images,
+            "spans": make_spans(paras, images),
+        }
+
+    raise ValueError(f"unknown profile {profile}")
+
+
+def parse_listing(html: str) -> tuple[list[str], bool]:
+    """Listing page -> (hrefs in document order, is_terminal).
+
+    is_terminal mirrors the selenium one-shot 'returned a set' stop signal
+    (base_crawler.py:129-131).
+    """
+    links = _RE_ANCHOR.findall(html)
+    return links, "<!--one-shot-->" in html

@@ -1,0 +1,454 @@
+"""Deterministic synthetic web — the host simulator that replaces the network.
+
+The sandbox has no network, and a 10^10-URL frontier must never be
+materialized up front; both problems have one answer: the web is a *pure
+function* ``page(url, seed) -> html`` computed inside the fetch vUDF.  Every
+listing page, article body, interleaved image, messy date string and robots
+rule is derived from a stable 64-bit hash of (seed, url) — the same URL always
+yields the same page, at any scale, on any executor, with no shared state.
+
+Site shapes mirror the reference's observed behaviors
+(/root/reference/crawler/*.py):
+
+- pagination templates  (vnexpress.py:255, dantri.py:303, vietnamnet.py:220,
+  congthuong.py:198, dangcongsan.py:188, congly.py:209)
+- until-empty stop + hard page caps (base_crawler.py:126-128,
+  baotintuc.py:248, baovanhoa.py:243)
+- one-shot infinite-scroll listings returning a set (baoxaydung.py:196-228)
+- parser profiles: vnx (vnexpress.py:175-246), dtr (dantri.py:226-265),
+  btt (baothanhtra.py:102-171), vnn (vietnamnet.py:122-181)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Stable hashing
+# ---------------------------------------------------------------------------
+
+
+def stable_hash(s: str, seed: int = 0) -> int:
+    """Stable unsigned 64-bit hash of a string (blake2b, keyed by seed)."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")
+    ).digest()
+    return struct.unpack("<Q", h)[0]
+
+
+# ---------------------------------------------------------------------------
+# Web configuration
+# ---------------------------------------------------------------------------
+
+PROFILES = ("vnx", "dtr", "btt", "vnn")
+
+PAGINATION = {
+    "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
+    "dtr": "trang-htm",  # https://{h}/{slug}/trang-{n}.htm   dantri.py:303
+    "btt": "brsr-offset",  # https://{h}/{slug}?BRSR={20(n-1)} congthuong.py:198
+    "vnn": "page0",  # https://{h}/{slug}-page{n-1}           vietnamnet.py:220
+}
+
+CONTENT_JOIN = {"vnx": ",", "dtr": "\n", "btt": " ", "vnn": ","}  # §2.3 P3
+
+_WORDS = (
+    "tin tức thời sự kinh doanh thế giới giáo dục thể thao công nghệ đời sống "
+    "pháp luật du lịch sức khỏe văn hóa chính trị xã hội quốc tế tài chính "
+    "doanh nghiệp thị trường bất động sản khoa học môi trường lao động việc làm"
+).split()
+
+_AUTHORS = (
+    "Nguyễn Văn An|Trần Thị Bình|Lê Hoàng Cường|Phạm Minh Đức|Hoàng Thu Hà|"
+    "Vũ Quang Huy|Đặng Ngọc Lan|Bùi Xuân Mai|Đỗ Thành Nam|Ngô Phương Oanh"
+).split("|")
+
+# Messy raw date formats exercising every clean_date branch
+# (service_utils.py:109-161): weekday strips, time-first, AM/PM, tz-combo,
+# "Cập nhật lúc", "lúc", bare (GMT).
+_DATE_FORMATS = (
+    "{d:02d}/{m:02d}/{y}, {H:02d}:{M:02d} (GMT+7)",
+    "Thứ Sáu, {d:02d}/{m:02d}/{y} {H:02d}:{M:02d}:00 +07:00",
+    "Chủ Nhật, ngày {d}/{m}/{y} - {H:02d}:{M:02d}",
+    "{H}:{M:02d} {d}/{m}/{y}",
+    "Cập nhật lúc {H:02d}:{M:02d} {d:02d}/{m:02d}/{y}",
+    "{d}/{m}/{y} lúc {H:02d}:{M:02d}",
+    "{d}/{m}/{y} {h}:{M:02d} {ap}",
+    "Thứ Hai, {d:02d}/{m:02d}/{y} {H:02d}:{M:02d} (GMT)",
+)
+
+
+@dataclass(frozen=True)
+class HostSpec:
+    host: str
+    profile: str  # vnx | dtr | btt | vnn
+    n_types: int
+    links_per_page: int
+    max_depth: int  # listing pages per type before the empty page
+    page_cap: int | None = None  # hard cap (baotintuc.py:248 / baovanhoa.py:243)
+    one_shot: bool = False  # selenium-style full listing (baoxaydung.py:196)
+    crawl_delay_s: float = 1.0  # politeness budget (base_crawler.py:61)
+    robots_disallow: tuple[str, ...] = ()  # path prefixes (north_rule addition)
+
+    @property
+    def base_url(self) -> str:
+        return f"https://{self.host}"
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    seed: int = 42
+    hosts: tuple[HostSpec, ...] = ()
+    null_title_mod: int = 17  # 1/17 articles have no title -> dropped
+    dup_prev_page_mod: int = 3  # hosts h%3==0 repeat one link from prior page
+    cross_type_dup_mod: int = 7  # 1/7 links point into type 0 (cross-type dup)
+    relative_link_profiles: tuple[str, ...] = ("vnn",)  # emit relative hrefs
+
+    def spec(self, host: str) -> HostSpec:
+        return self._by_host[host]
+
+    def __post_init__(self):
+        object.__setattr__(self, "_by_host", {h.host: h for h in self.hosts})
+
+
+def default_web(seed: int = 42, scale: float = 1.0) -> WebConfig:
+    """The standard 6-host synthetic web.  ``scale`` multiplies types/depth.
+
+    vnx1 is the deliberately skewed giant (many categories, deep listings —
+    mirroring vnexpress's 71 categories vs vietnamnet's 16).
+    """
+
+    def s(n: int) -> int:
+        return max(1, int(round(n * scale)))
+
+    hosts = (
+        HostSpec("vnx1.example.vn", "vnx", n_types=s(12), links_per_page=8,
+                 max_depth=s(6), crawl_delay_s=1.0,
+                 robots_disallow=("/private", "/tag")),
+        HostSpec("vnx2.example.vn", "vnx", n_types=s(4), links_per_page=5,
+                 max_depth=s(3), page_cap=4, crawl_delay_s=2.0),
+        HostSpec("dtr1.example.vn", "dtr", n_types=s(6), links_per_page=6,
+                 max_depth=s(4), crawl_delay_s=1.0,
+                 robots_disallow=("/video",)),
+        HostSpec("btt1.example.vn", "btt", n_types=s(3), links_per_page=4,
+                 max_depth=s(5), crawl_delay_s=0.5),
+        HostSpec("vnn1.example.vn", "vnn", n_types=s(5), links_per_page=6,
+                 max_depth=s(3), crawl_delay_s=1.5),
+        HostSpec("one1.example.vn", "dtr", n_types=s(2), links_per_page=10,
+                 max_depth=1, one_shot=True, crawl_delay_s=1.0),
+    )
+    return WebConfig(seed=seed, hosts=hosts)
+
+
+def skewed_web(seed: int = 7, giant_types: int = 40, giant_depth: int = 12) -> WebConfig:
+    """A web where one host dominates the frontier ~100x — the skew fixture."""
+    hosts = (
+        HostSpec("giant.example.vn", "vnx", n_types=giant_types, links_per_page=10,
+                 max_depth=giant_depth, crawl_delay_s=0.1),
+        HostSpec("tiny1.example.vn", "dtr", n_types=1, links_per_page=3,
+                 max_depth=1, crawl_delay_s=1.0),
+        HostSpec("tiny2.example.vn", "vnn", n_types=1, links_per_page=3,
+                 max_depth=1, crawl_delay_s=1.0),
+    )
+    return WebConfig(seed=seed, hosts=hosts)
+
+
+# ---------------------------------------------------------------------------
+# URL formulas (reference §2.2 F2)
+# ---------------------------------------------------------------------------
+
+
+def type_slug(cfg: WebConfig, host: str, type_id: int) -> str:
+    w1 = _WORDS[stable_hash(f"slug|{host}|{type_id}", cfg.seed) % len(_WORDS)]
+    return f"{w1}-{type_id}"
+
+
+def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
+    spec = cfg.spec(host)
+    slug = type_slug(cfg, host, type_id)
+    if spec.one_shot:
+        return f"https://{host}/{slug}"
+    kind = PAGINATION[spec.profile]
+    if kind == "suffix-p":
+        return f"https://{host}/{slug}-p{page}"
+    if kind == "trang-htm":
+        return f"https://{host}/{slug}/trang-{page}.htm"
+    if kind == "brsr-offset":
+        return f"https://{host}/{slug}?BRSR={20 * (page - 1)}"
+    if kind == "page0":
+        return f"https://{host}/{slug}-page{page - 1}"
+    raise ValueError(kind)
+
+
+def _article_num(cfg: WebConfig, host: str, type_id: int, idx: int) -> int:
+    return 1000000 + (stable_hash(f"art|{host}|{type_id}|{idx}", cfg.seed) % 9000000)
+
+
+def article_url(cfg: WebConfig, host: str, type_id: int, idx: int,
+                relative: bool = False) -> str:
+    slug = type_slug(cfg, host, type_id)
+    num = _article_num(cfg, host, type_id, idx)
+    path = f"/{slug}/bai-viet-{num}.html"  # matches \d{6,}.html$ routing (X9)
+    return path if relative else f"https://{host}{path}"
+
+
+def listing_depth(cfg: WebConfig, host: str, type_id: int) -> int:
+    spec = cfg.spec(host)
+    return 1 + stable_hash(f"depth|{host}|{type_id}", cfg.seed) % spec.max_depth
+
+
+def listing_links(cfg: WebConfig, host: str, type_id: int, page: int) -> list[str]:
+    """Article hrefs of a listing page, in document order.  [] when empty.
+
+    Duplicates within/across pages and cross-type links are injected
+    deterministically to exercise the seen-set.
+    """
+    spec = cfg.spec(host)
+    if spec.one_shot and page > 1:
+        return []
+    if spec.page_cap is not None and page > spec.page_cap:
+        return []  # hard cap manifests as an empty page (baotintuc.py:248-249)
+    depth = listing_depth(cfg, host, type_id)
+    if not spec.one_shot and page > depth:
+        return []
+    relative = spec.profile in cfg.relative_link_profiles
+    L = spec.links_per_page
+    links: list[str] = []
+    for k in range(L):
+        idx = (page - 1) * L + k
+        h = stable_hash(f"link|{host}|{type_id}|{page}|{k}", cfg.seed)
+        if type_id != 0 and h % cfg.cross_type_dup_mod == 0:
+            # cross-type duplicate: points into type 0's article space
+            links.append(article_url(cfg, host, 0, h % (L * 2), relative))
+        else:
+            links.append(article_url(cfg, host, type_id, idx, relative))
+    if page > 1 and stable_hash(f"dup|{host}|{type_id}|{page}", cfg.seed) % cfg.dup_prev_page_mod == 0:
+        # repeat one link from the previous page (within-type dup)
+        links.append(article_url(cfg, host, type_id, (page - 2) * L, relative))
+    return links
+
+
+# ---------------------------------------------------------------------------
+# Page rendering (the "network")
+# ---------------------------------------------------------------------------
+
+
+def _canonical_article(cfg: WebConfig, host: str, url: str) -> str:
+    """Absolute, query-stripped form used as the article's identity."""
+    u = url.split("?")[0].split("#")[0]
+    if not u.startswith("http"):
+        u = f"https://{host}{u}"
+    return u
+
+
+def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
+    links = listing_links(cfg, host, type_id, page)
+    spec = cfg.spec(host)
+    if not links:
+        return "<html><body><div class='list-news'></div></body></html>"
+    anchors = "".join(
+        f'<h3 class="title-news"><a href="{u}">bài {i}</a></h3>' for i, u in enumerate(links)
+    )
+    marker = "<!--one-shot-->" if spec.one_shot else ""
+    return f"<html><body>{marker}<div class='list-news'>{anchors}</div></body></html>"
+
+
+def _sentence(cfg: WebConfig, key: str, n_words: int) -> str:
+    h = stable_hash(key, cfg.seed)
+    out = []
+    for i in range(n_words):
+        out.append(_WORDS[(h >> (i % 8)) % len(_WORDS)])
+        h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    return " ".join(out)
+
+
+def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
+    """Ground-truth structured fields of an article page (pre-HTML).
+
+    The HTML renderer serializes these; parsers must recover them exactly.
+    """
+    spec = cfg.spec(host)
+    cu = _canonical_article(cfg, host, url)
+    h = stable_hash(f"doc|{cu}", cfg.seed)
+    has_title = h % cfg.null_title_mod != 0
+    title = f"Tiêu đề {_sentence(cfg, f'title|{cu}', 5)} {h % 1000}" if has_title else None
+    desc = f"Mô tả {_sentence(cfg, f'desc|{cu}', 10)}"
+    n_paras = 2 + h % 5
+    paras = [
+        f"Đoạn {i}: {_sentence(cfg, f'para|{cu}|{i}', 8 + (h >> i) % 10)}."
+        for i in range(n_paras)
+    ]
+    author = _AUTHORS[h % len(_AUTHORS)]
+    # images interleaved after paragraph positions determined by hash
+    n_imgs = h % 4  # 0..3 images
+    img_positions = sorted({(stable_hash(f"imgpos|{cu}|{j}", cfg.seed) % n_paras) for j in range(n_imgs)})
+    # vnn images live on the article host itself so relative hrefs can
+    # round-trip through urljoin absolutization (vietnamnet.py:146-157)
+    img_host = host if spec.profile == "vnn" else f"img.{host}"
+    images = [
+        (pos, f"https://{img_host}/media/{stable_hash(f'img|{cu}|{pos}', cfg.seed) % 10**8}.jpg")
+        for pos in img_positions
+    ]
+    # date: cycle through the messy formats
+    fmt = _DATE_FORMATS[h % len(_DATE_FORMATS)]
+    y = 2022 + h % 4
+    m = 1 + (h >> 8) % 12
+    d = 1 + (h >> 16) % 28
+    H = (h >> 24) % 24
+    M = (h >> 32) % 60
+    ap = "PM" if H >= 12 else "AM"
+    h12 = H % 12 or 12
+    date_raw = fmt.format(d=d, m=m, y=y, H=H, M=M, h=h12, ap=ap)
+    comments = (
+        [f"Bình luận {_sentence(cfg, f'cmt|{cu}|{i}', 6)}" for i in range(h % 3)]
+        if spec.profile in ("vnx", "vnn")
+        else []
+    )
+    return {
+        "canonical_url": cu,
+        "title": title,
+        "description": desc,
+        "paragraphs": paras,
+        "author": author,
+        "images": images,  # list[(para_pos, abs_url)]
+        "date_raw": date_raw,
+        "comments": comments,
+        "hero_image": f"https://img.{host}/hero/{h % 10**7}.jpg",
+    }
+
+
+def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
+    """Serialize article fields to profile-specific HTML-ish markup.
+
+    Images are interleaved between paragraphs in true document order — the
+    'interleaved text + media documents' of the north rule.  Attribute names
+    follow each profile's reference site (data-src for vnx/dtr
+    vnexpress.py:213-214 / dantri.py:250-255; src for btt baothanhtra.py:142;
+    src|data-original + relative forms for vnn vietnamnet.py:146-157).
+    """
+    spec = cfg.spec(host)
+    f = article_fields(cfg, host, url)
+    p = spec.profile
+    parts = ["<html><head>"]
+    parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
+    parts.append("</head><body>")
+    if f["title"] is not None:
+        parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
+    parts.append(f'<span class="date">{f["date_raw"]}</span>')
+    parts.append(f'<p class="description">{f["description"]}</p>')
+    if p in ("dtr", "btt", "vnn"):
+        parts.append(f'<div class="author-name">{f["author"]}</div>')
+    parts.append('<article class="content-body">')
+    img_by_pos: dict[int, list[str]] = {}
+    for pos, src in f["images"]:
+        img_by_pos.setdefault(pos, []).append(src)
+    for i, para in enumerate(f["paragraphs"]):
+        parts.append(f'<p class="Normal">{para}</p>')
+        for src in img_by_pos.get(i, []):
+            if p in ("vnx", "dtr"):
+                parts.append(f'<img class="lazy" data-src="{src}"/>')
+            elif p == "btt":
+                parts.append(f'<img src="{src}"/>')
+            else:  # vnn: half the images rendered relative, parser absolutizes
+                h_img = stable_hash(f"rel|{src}", cfg.seed)
+                if h_img % 2 == 0 and src.startswith(f"https://{host}/"):
+                    parts.append(f'<img src="{src[len(f"https://{host}"):]}"/>')
+                else:
+                    parts.append(f'<img data-original="{src}"/>')
+    if p == "vnx":
+        # author travels as the last content paragraph (vnexpress.py:190-193)
+        parts.append(f'<p class="Normal">{f["author"]}</p>')
+    parts.append("</article>")
+    if spec.profile in ("vnx", "vnn") and f["comments"]:
+        cmts = "".join(f'<div class="comment_content">{c}</div>' for c in f["comments"])
+        parts.append(f'<div class="box_comment">{cmts}</div>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def fetch(cfg: WebConfig, url: str) -> str:
+    """The network: URL -> HTML.  Pure, deterministic, executor-local."""
+    host = url.split("/")[2] if url.startswith("http") else None
+    if host is None:
+        raise ValueError(f"relative URL reached fetch: {url}")
+    if is_article_url(url):
+        return render_article_html(cfg, host, url)
+    # listing: recover (type_id, page) from the URL
+    type_id, page = parse_listing_url(cfg, host, url)
+    return render_listing_html(cfg, host, type_id, page)
+
+
+def is_article_url(url: str) -> bool:
+    # mirrors the reference's article-vs-listing routing regex
+    # (app/crawl_request.py:54): r"\d{6,}.html$"
+    import re
+
+    return re.search(r"\d{6,}\.html$", url) is not None
+
+
+def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
+    """Invert listing_url: recover (type_id, page)."""
+    import re
+
+    spec = cfg.spec(host)
+    path = url.split(host, 1)[1]
+    if spec.one_shot:
+        m = re.search(r"-(\d+)$", path)
+        return int(m.group(1)), 1
+    kind = PAGINATION[spec.profile]
+    if kind == "suffix-p":
+        m = re.search(r"-(\d+)-p(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "trang-htm":
+        m = re.search(r"-(\d+)/trang-(\d+)\.htm$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "brsr-offset":
+        m = re.search(r"-(\d+)\?BRSR=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2)) // 20 + 1
+    if kind == "page0":
+        m = re.search(r"-(\d+)-page(\d+)$", path)
+        return int(m.group(1)), int(m.group(2)) + 1
+    raise ValueError(url)
+
+
+# ---------------------------------------------------------------------------
+# Dimension tables
+# ---------------------------------------------------------------------------
+
+
+def hosts_rows(cfg: WebConfig) -> list[dict]:
+    return [
+        {
+            "host": s.host,
+            "base_url": s.base_url,
+            "parser_profile": s.profile,
+            "pagination_kind": "one-shot" if s.one_shot else PAGINATION[s.profile],
+            "page_cap": s.page_cap,
+            "content_join": CONTENT_JOIN[s.profile],
+            "emits_comments": s.profile in ("vnx", "vnn"),
+            "crawl_delay_s": s.crawl_delay_s,
+            "robots_disallow": list(s.robots_disallow),
+            "n_types": s.n_types,
+            "links_per_page": s.links_per_page,
+            "max_depth": s.max_depth,
+        }
+        for s in cfg.hosts
+    ]
+
+
+def categories_rows(cfg: WebConfig) -> list[dict]:
+    return [
+        {"host": s.host, "type_id": t, "slug": type_slug(cfg, s.host, t)}
+        for s in cfg.hosts
+        for t in range(s.n_types)
+    ]
+
+
+def robots_txt(cfg: WebConfig, host: str) -> str:
+    """robots.txt content for a host (north_rule addition; reference has none)."""
+    spec = cfg.spec(host)
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: {p}" for p in spec.robots_disallow]
+    lines.append(f"Crawl-delay: {spec.crawl_delay_s}")
+    return "\n".join(lines)
