@@ -1,0 +1,147 @@
+"""Vectorized fetch + parse operators (the engine's only Python hot path).
+
+Per the input_hint, no per-row Python UDFs: both operators are
+``mapInPandas`` — Arrow batches in, Arrow batches out, one Python worker
+invocation per batch, the surrounding plan stays JVM-side.  Fetch and parse
+are FUSED in a single pass so page HTML never round-trips through Arrow (at
+100 TB the HTML column would dominate shuffle/serialization).  An unfused
+``fetch_only`` is kept for tests and plan inspection.
+
+The simulator (sources/hostsim.py) stands in for the network; on a real
+deployment the fetch body is an HTTP client — the operator contract
+(columns in/out, politeness columns already assigned upstream) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.parse_profiles import parse_article, parse_listing
+from ..sources import hostsim as hs
+
+LISTING_OUT_SCHEMA = (
+    "host string, type_id int, page_no int, out_links array<string>, "
+    "is_terminal boolean, fetch_error boolean"
+)
+
+ARTICLE_OUT_SCHEMA = (
+    "wave int, host string, type_id int, page_no int, link_index int, "
+    "canonical_url string, canonical_hash long, fetch_ts double, "
+    "title string, description string, content string, pub_date_raw string, "
+    "author string, imageUrl string, comments array<string>, "
+    "contentImageUrls array<string>, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "parse_ok boolean"
+)
+
+
+def fetch_parse_listings(cfg: hs.WebConfig, listings: DataFrame) -> DataFrame:
+    """listing frontier rows -> (out_links in document order, is_terminal).
+
+    Input columns: host, type_id, page_no (+ anything; only these are read).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_links, terminal, errors = [], [], []
+            for host, t, p in zip(pdf["host"], pdf["type_id"], pdf["page_no"]):
+                try:
+                    html = hs.fetch(cfg, hs.listing_url(cfg, host, int(t), int(p)))
+                    links, is_term = parse_listing(html)
+                    out_links.append(links)
+                    terminal.append(is_term)
+                    errors.append(False)
+                except Exception:
+                    out_links.append([])
+                    terminal.append(False)
+                    errors.append(True)
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "type_id": pdf["type_id"],
+                    "page_no": pdf["page_no"],
+                    "out_links": out_links,
+                    "is_terminal": terminal,
+                    "fetch_error": errors,
+                }
+            )
+
+    cols = ["host", "type_id", "page_no"]
+    return listings.select(*cols).mapInPandas(run, LISTING_OUT_SCHEMA)
+
+
+def fetch_parse_articles(cfg: hs.WebConfig, articles: DataFrame) -> DataFrame:
+    """article frontier rows -> parsed records + span sequences.
+
+    Input columns: wave, host, type_id, page_no, link_index, canonical_url,
+    canonical_hash, fetch_ts.  ``parse_ok=False`` rows are null-title drops
+    (base_crawler.py:53-56) or fetch errors — kept for lineage, filtered from
+    the articles table.
+    """
+    profile_by_host = {s.host: s.profile for s in cfg.hosts}
+    base_by_host = {s.host: s.base_url for s in cfg.hosts}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                k: [None] * n
+                for k in (
+                    "title description content pub_date_raw author imageUrl "
+                    "comments contentImageUrls spans".split()
+                )
+            }
+            ok = [False] * n
+            for i, (host, cu) in enumerate(zip(pdf["host"], pdf["canonical_url"])):
+                try:
+                    html = hs.fetch(cfg, cu)
+                    rec = parse_article(html, profile_by_host[host], base_by_host[host])
+                except Exception:
+                    rec = None
+                if rec is None:
+                    continue
+                ok[i] = True
+                for k in out:
+                    out[k][i] = rec[k]
+            res = pdf[
+                [
+                    "wave", "host", "type_id", "page_no", "link_index",
+                    "canonical_url", "canonical_hash", "fetch_ts",
+                ]
+            ].copy()
+            for k, v in out.items():
+                res[k] = v
+            res["parse_ok"] = ok
+            yield res
+
+    cols = [
+        "wave", "host", "type_id", "page_no", "link_index",
+        "canonical_url", "canonical_hash", "fetch_ts",
+    ]
+    return articles.select(*cols).mapInPandas(run, ARTICLE_OUT_SCHEMA)
+
+
+def fetch_only(cfg: hs.WebConfig, urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Unfused fetch (url -> html) for tests/inspection — NOT the hot path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = [hs.fetch(cfg, u) for u in pdf[url_col]]
+            yield pd.DataFrame({url_col: pdf[url_col], "html": html})
+
+    return urls.select(url_col).mapInPandas(run, f"{url_col} string, html string")
+
+
+def explode_links(parsed_listings: DataFrame) -> DataFrame:
+    """UDTF-shaped step as a built-in: posexplode keeps listing document order."""
+    return parsed_listings.select(
+        "host",
+        "type_id",
+        "page_no",
+        F.posexplode("out_links").alias("link_index", "href"),
+    )

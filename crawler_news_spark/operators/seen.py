@@ -1,0 +1,267 @@
+"""URL-seen set: partitioned bloom prefilter + exact anti-join (+ cuckoo).
+
+Design (north_rule: "partitioned bloom-filter (with cuckoo fallback for
+deletions) URL-seen set built in vectorized Arrow UDFs over canonicalized-URL
+hashes"):
+
+- Identity is ``xxhash64(canonical_url)`` computed JVM-side
+  (functions/urlnorm.py).  The bloom operates on those 64-bit hashes only —
+  no strings cross into Python.
+- The filter is **partitioned by ``pmod(hash, P)``**: one bitset per bucket,
+  stored as a ``(bucket, bits, n_items)`` parquet table.  At 10^10 URLs a
+  monolithic bloom (~12 GB at 10 bits/key) cannot be broadcast; bucketing
+  makes the probe a co-partitioned join — each task reads only its bucket's
+  bits.  At test scale the same plan runs with a handful of buckets.
+- Bloom answers are **advisory only**: a candidate flagged "maybe seen" goes
+  through the exact anti-join against the ``seen`` table; "definitely new"
+  (bloom has no false negatives) skips the join entirely.  False positives
+  therefore cost a join probe, never a lost URL — the final seen set is exact
+  (the north rule's equality requirement).
+- Deletions (re-crawl eviction) can't be expressed in a bloom; the
+  :class:`CuckooFilter` provides delete support behind the same bucket-table
+  contract (used when ``evict=True`` paths are needed).
+
+Both build and probe are ``applyInPandas`` over bucket groups — vectorized
+numpy inside, shuffle keyed by bucket outside (explicit partitioning, no
+skew: buckets are uniform by construction since the key is a hash).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_SCHEMA = "bucket int, bits binary, n_items long"
+
+_MASK64 = (1 << 64) - 1
+
+
+def _positions(h: np.ndarray, k: int, m_bits: int) -> Iterator[np.ndarray]:
+    """k double-hashed bit positions per element (h: uint64 array)."""
+    h1 = h % np.uint64(m_bits)
+    h2 = ((h >> np.uint64(33)) | np.uint64(1)) % np.uint64(m_bits)
+    for i in range(k):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+
+
+def _set_bits(bits: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bits, pos >> np.uint64(3), (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    return (bits[pos >> np.uint64(3)] & (1 << (pos & np.uint64(7))).astype(np.uint8)) != 0
+
+
+def bloom_params(expected_per_bucket: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for the expected per-bucket load."""
+    n = max(expected_per_bucket, 64)
+    m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+    m = max(512, (m + 7) // 8 * 8)
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+class BloomState:
+    """Driver-side handle for the partitioned bloom table."""
+
+    def __init__(self, n_buckets: int, m_bits: int, k: int):
+        self.n_buckets = n_buckets
+        self.m_bits = m_bits
+        self.k = k
+
+    def empty_df(self, spark: SparkSession) -> DataFrame:
+        pdf = pd.DataFrame(
+            {
+                "bucket": pd.array(range(self.n_buckets), dtype="int32"),
+                "bits": [bytes(self.m_bits // 8)] * self.n_buckets,
+                "n_items": pd.array([0] * self.n_buckets, dtype="int64"),
+            }
+        )
+        return spark.createDataFrame(pdf, BLOOM_SCHEMA)
+
+    def bucket_col(self, hash_col):
+        return F.pmod(hash_col, F.lit(self.n_buckets)).cast("int")
+
+    # ---- build / merge -----------------------------------------------------
+
+    def build_delta(self, new_hashes: DataFrame, hash_col: str = "canonical_hash") -> DataFrame:
+        """Per-bucket bitsets for a batch of new hashes (applyInPandas)."""
+        m_bits, k = self.m_bits, self.k
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            h = pdf[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+            for pos in _positions(h, k, m_bits):
+                _set_bits(bits, pos)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [bits.tobytes()],
+                 "n_items": [len(pdf)]}
+            )
+
+        keyed = new_hashes.withColumn("bucket", self.bucket_col(F.col(hash_col)))
+        return keyed.groupBy("bucket").applyInPandas(per_bucket, BLOOM_SCHEMA)
+
+    def merge(self, old: DataFrame, delta: DataFrame) -> DataFrame:
+        """OR the delta bitsets into the old table (outer union by bucket)."""
+
+        def orbits(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc: np.ndarray | None = None
+            n = 0
+            for b, items in zip(pdf["bits"], pdf["n_items"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else acc | arr
+                n += int(items)
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [acc.tobytes()],
+                 "n_items": [n]}
+            )
+
+        return old.unionByName(delta).groupBy("bucket").applyInPandas(orbits, BLOOM_SCHEMA)
+
+    # ---- probe ---------------------------------------------------------------
+
+    def probe(self, candidates: DataFrame, bloom: DataFrame,
+              hash_col: str = "canonical_hash") -> DataFrame:
+        """Adds ``maybe_seen`` to candidates.  Join keyed by bucket: the probe
+        shuffles candidates once on the uniform bucket key and streams each
+        bucket's bitset alongside (bits column is per-group constant)."""
+        m_bits, k = self.m_bits, self.k
+        keyed = candidates.withColumn("bucket", self.bucket_col(F.col(hash_col)))
+        joined = keyed.join(bloom.select("bucket", "bits"), "bucket", "left")
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
+        ) + ", maybe_seen boolean"
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits_b = pdf["bits"].iloc[0]
+            res = pdf.drop(columns=["bits"])
+            if bits_b is None:
+                res["maybe_seen"] = False
+                return res
+            bits = np.frombuffer(bits_b, dtype=np.uint8)
+            h = pdf[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+            maybe = np.ones(len(pdf), dtype=bool)
+            for pos in _positions(h, k, m_bits):
+                maybe &= _test_bits(bits, pos)
+            res["maybe_seen"] = maybe
+            return res
+
+        return joined.groupBy("bucket").applyInPandas(per_bucket, out_schema)
+
+
+def seen_anti_join(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom_state: BloomState | None = None,
+    bloom: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Exact not-in-seen filter with optional bloom prefilter.
+
+    Returns (new_rows, maybe_rows_that_were_fp or None).  ``new_rows`` is
+    exact: bloom false positives are recovered by the anti-join; bloom false
+    negatives are impossible.
+    """
+    if seen is None:
+        return candidates, None
+    if bloom_state is None or bloom is None:
+        return (
+            candidates.join(
+                seen.select("canonical_hash").distinct(), "canonical_hash", "left_anti"
+            ),
+            None,
+        )
+    probed = bloom_state.probe(candidates, bloom)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+    recovered = maybe.join(
+        seen.select("canonical_hash").distinct(), "canonical_hash", "left_anti"
+    )
+    return definite_new.unionByName(recovered), recovered
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletion-capable fallback, north_rule)
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """A plain (single-process) cuckoo filter over 64-bit hashes.
+
+    Used for re-crawl eviction where the bloom can't delete.  Bucketized the
+    same way as the bloom at scale (one filter per hash bucket); exposed here
+    as the per-bucket primitive with insert/delete/contains + serialization.
+    16-bit fingerprints, 4 slots per bucket.
+    """
+
+    SLOTS = 4
+
+    def __init__(self, capacity: int, table: np.ndarray | None = None):
+        n_buckets = max(1, 1 << math.ceil(math.log2(max(capacity, 4) / self.SLOTS)))
+        self.n_buckets = n_buckets
+        self.table = (
+            table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        )
+
+    def _fp(self, h: int) -> int:
+        fp = (h >> 40) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _i1(self, h: int) -> int:
+        return h % self.n_buckets
+
+    def _i2(self, i1: int, fp: int) -> int:
+        return (i1 ^ (fp * 0x5BD1E995)) % self.n_buckets
+
+    def insert(self, h: int, max_kicks: int = 500) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        i = i1 if h % 2 else i2
+        rng = np.random.default_rng(h & _MASK64)
+        for _ in range(max_kicks):
+            slot = int(rng.integers(self.SLOTS))
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = self._i2(i, fp)
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full
+
+    def contains(self, h: int) -> bool:
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        fp = self._fp(h)
+        for i in (self._i1(h), self._i2(self._i1(h), fp)):
+            idx = np.where(self.table[i] == fp)[0]
+            if len(idx):
+                self.table[i, idx[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, capacity: int) -> "CuckooFilter":
+        cf = cls(capacity)
+        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
+        cf.n_buckets = cf.table.shape[0]
+        return cf

@@ -1,0 +1,347 @@
+"""The crawl wave loop — driver-side iterative dataflow (GraphX-superstep style).
+
+Spark SQL has no recursion; the frontier loop lives in the driver, each wave
+being one declarative DataFrame job (SURVEY.md §2.2 F1).  Per wave:
+
+  frontier_w ──politeness──▶ fetch+parse (mapInPandas, fused)
+     ├─ listings ─▶ posexplode links ─▶ absolutize/canonicalize (built-ins)
+     │               ─▶ robots filter ─▶ within-wave keep-first (min_by key)
+     │               ─▶ bloom prefilter ─▶ exact anti-join vs seen
+     │               ─▶ frontier_{w+1} article rows (+ seen/bloom deltas)
+     ├─ stop rule: any empty page or one-shot set in a (host,type) batch
+     │             stops it; else next B listing pages enter frontier_{w+1}
+     └─ articles ─▶ records + spans ─▶ articles/documents tables
+  lineage_w appended; everything committed to the catalog (exact resume).
+
+Crawl order is materialized as a dense rank over
+(wave, host, type_id, page_no, link_index) AFTER the loop — arrival order is
+never trusted (reference iterates types ascending base_crawler.py:95-96,
+pages ascending :113-118, links in listing document order).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schema as SCH
+from ..functions.clean_date import clean_date_col
+from ..functions.urlnorm import absolutize_col, canonical_hash_col, canonicalize_col
+from ..operators import parse as P
+from ..operators import politeness as pol
+from ..operators import seen as S
+from ..sources import hostsim as hs
+from .catalog import CrawlCatalog
+
+
+@dataclass
+class CrawlRunConfig:
+    batch_pages: int = 4  # reference num_workers (crawler_config.yml:17)
+    max_waves: int = 100
+    bloom_buckets: int = 8  # raise to ~4096 at 10^10 scale
+    bloom_expected_per_bucket: int = 4096
+    use_bloom: bool = True
+    created_at: str = "2026-01-01T00:00:00+00:00"  # deterministic createdAt stamp
+
+
+class WaveCrawl:
+    def __init__(
+        self,
+        spark: SparkSession,
+        web: hs.WebConfig,
+        catalog_root: str,
+        run_cfg: CrawlRunConfig | None = None,
+    ):
+        self.spark = spark
+        self.web = web
+        self.cfg = run_cfg or CrawlRunConfig()
+        self.cat = CrawlCatalog(catalog_root, spark)
+        self.hosts_df = spark.createDataFrame(
+            [tuple(r[f.name] for f in SCH.HOSTS.fields) for r in hs.hosts_rows(web)],
+            SCH.HOSTS,
+        ).cache()
+        self.delays = {s.host: s.crawl_delay_s for s in web.hosts}
+        m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
+        self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
+
+    # ------------------------------------------------------------------
+    def seed_frontier(self) -> DataFrame:
+        """Wave-0 frontier: listing batch 1 for every (host, type)."""
+        rows = []
+        for spec in self.web.hosts:
+            for t in range(spec.n_types):
+                n = 1 if spec.one_shot else self.cfg.batch_pages
+                for p in range(1, n + 1):
+                    url = hs.listing_url(self.web, spec.host, t, p)
+                    rows.append(
+                        (0, spec.host, "listing", t, p, 0, url, url, 0, 0, 1.0)
+                    )
+        df = self.spark.createDataFrame(
+            rows,
+            "wave int, host string, kind string, type_id int, page_no int, "
+            "link_index int, url string, canonical_url string, "
+            "canonical_hash long, depth int, priority double",
+        )
+        return df.withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+
+    # ------------------------------------------------------------------
+    def run(self, resume: bool = False) -> dict:
+        """Run (or resume) the crawl to completion.  Returns run stats."""
+        cat, cfg = self.cat, self.cfg
+        if resume and cat.last_wave() >= 0:
+            cat.prune_uncommitted()
+            wave = cat.last_wave() + 1
+            frontier = cat.read_wave("frontier", wave) if cat.has("frontier", wave) else None
+            m = cat.read_manifest()
+            clock_base = dict(m["waves"][str(cat.last_wave())]["clock_base"])
+        else:
+            wave = 0
+            frontier = self.seed_frontier()
+            cat.write("frontier", 0, frontier)
+            frontier = cat.read_wave("frontier", 0)
+            clock_base = {}
+
+        stats = {"n_waves": 0, "t_start": time.time()}
+        while frontier is not None and not frontier.isEmpty():
+            if wave >= cfg.max_waves:
+                raise RuntimeError("max_waves exceeded")
+            clock_base = self._run_wave(wave, frontier, clock_base)
+            wave += 1
+            frontier = cat.read_wave("frontier", wave) if cat.has("frontier", wave) else None
+        stats["n_waves"] = wave
+        stats["t_end"] = time.time()
+        return stats
+
+    # ------------------------------------------------------------------
+    def _run_wave(self, wave: int, frontier: DataFrame, clock_base: dict) -> dict:
+        cat, cfg, web = self.cat, self.cfg, self.web
+        t0 = time.time()
+
+        scheduled, new_clock = pol.schedule_wave(frontier, self.delays, clock_base)
+        scheduled = scheduled.cache()
+
+        listings = scheduled.filter(F.col("kind") == "listing")
+        articles = scheduled.filter(F.col("kind") == "article")
+
+        # ---------- listings: fetch/parse -> candidates ----------
+        parsed_listings = P.fetch_parse_listings(web, listings).cache()
+
+        links = P.explode_links(parsed_listings)
+        hosts_dim = F.broadcast(self.hosts_df.select("host", "base_url"))
+        candidates = (
+            links.join(hosts_dim, "host")
+            .withColumn("url", absolutize_col(F.col("href"), F.col("base_url")))
+            .withColumn("canonical_url", canonicalize_col(F.col("url")))
+            .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+            .drop("href", "base_url")
+        )
+        candidates = pol.robots_filter(candidates, self.hosts_df)
+
+        # within-wave keep-first by the crawl key (min_by, one shuffle)
+        key = F.struct("type_id", "page_no", "link_index", "host", "url")
+        candidates = (
+            candidates.groupBy("canonical_hash", "canonical_url")
+            .agg(F.min(key).alias("k"))
+            .select(
+                "canonical_hash",
+                "canonical_url",
+                F.col("k.host").alias("host"),
+                F.col("k.type_id").alias("type_id"),
+                F.col("k.page_no").alias("page_no"),
+                F.col("k.link_index").alias("link_index"),
+                F.col("k.url").alias("url"),
+            )
+        )
+
+        # ---------- seen-set: bloom prefilter + exact anti-join ----------
+        seen_tbl = cat.read_upto("seen", wave - 1)
+        bloom_tbl = cat.read_wave("bloom", wave - 1) if cat.has("bloom", wave - 1) else None
+        if cfg.use_bloom and seen_tbl is not None and bloom_tbl is not None:
+            new_rows, recovered = S.seen_anti_join(
+                candidates, seen_tbl, self.bloom_state, bloom_tbl
+            )
+            n_bloom_fp = recovered.count() if recovered is not None else 0
+        else:
+            new_rows, _ = S.seen_anti_join(candidates, seen_tbl)
+            n_bloom_fp = 0
+        new_rows = new_rows.cache()
+
+        # ---------- stop rule + next listing batch ----------
+        stops = (
+            parsed_listings.groupBy("host", "type_id")
+            .agg(
+                F.max(
+                    (F.size("out_links") == 0) | F.col("is_terminal") | F.col("fetch_error")
+                ).alias("stopped"),
+                F.max("page_no").alias("max_page"),
+            )
+            .collect()
+        )
+        next_listing_rows = []
+        for r in stops:
+            if r["stopped"]:
+                continue
+            for p in range(r["max_page"] + 1, r["max_page"] + 1 + cfg.batch_pages):
+                url = hs.listing_url(web, r["host"], r["type_id"], p)
+                next_listing_rows.append(
+                    (wave + 1, r["host"], "listing", r["type_id"], p, 0, url, url,
+                     0, wave + 1, 1.0 / (2 + wave))
+                )
+        next_listings = self.spark.createDataFrame(
+            next_listing_rows, frontier.schema
+        ).withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+
+        # priority: depth + recency proxy (north_rule) — BFS depth dominant,
+        # per-URL recency hash as tiebreak for budget-capped scheduling
+        next_articles = new_rows.select(
+            F.lit(wave + 1).alias("wave"),
+            "host",
+            F.lit("article").alias("kind"),
+            "type_id",
+            "page_no",
+            "link_index",
+            "url",
+            "canonical_url",
+            "canonical_hash",
+            F.lit(wave + 1).alias("depth"),
+            (
+                1.0 / (2.0 + wave)
+                + F.pmod(F.col("canonical_hash"), F.lit(1000)).cast("double") / 1e6
+            ).alias("priority"),
+        )
+        cat.write("frontier", wave + 1, next_listings.unionByName(next_articles))
+
+        # ---------- seen + bloom deltas ----------
+        seen_delta = new_rows.select(
+            "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
+        )
+        cat.write("seen", wave, seen_delta)
+        if cfg.use_bloom:
+            delta = self.bloom_state.build_delta(cat.read_wave("seen", wave))
+            merged = (
+                self.bloom_state.merge(bloom_tbl, delta)
+                if bloom_tbl is not None
+                else self.bloom_state.merge(self.bloom_state.empty_df(self.spark), delta)
+            )
+            cat.write("bloom", wave, merged)
+
+        # ---------- articles: fetch/parse -> records + spans ----------
+        parsed = P.fetch_parse_articles(web, articles).cache()
+        ok = parsed.filter(F.col("parse_ok"))
+        slug_dim = F.broadcast(
+            self.spark.createDataFrame(
+                [(r["host"], r["type_id"], r["slug"]) for r in hs.categories_rows(web)],
+                SCH.CATEGORIES,
+            ).withColumnRenamed("slug", "article_type")
+        )
+        records = (
+            ok.join(slug_dim, ["host", "type_id"])
+            .withColumn(
+                "dataSource",
+                F.concat_ws("/", F.slice(F.split("canonical_url", "/"), 1, 3)),
+            )
+            .withColumn("publishedDate", clean_date_col(F.col("pub_date_raw")))
+            .withColumn("createdAt", F.lit(cfg.created_at))
+            .select(
+                "dataSource",
+                F.col("canonical_url").alias("url"),
+                "publishedDate",
+                "author",
+                "title",
+                "imageUrl",
+                "description",
+                "content",
+                "comments",
+                "contentImageUrls",
+                "article_type",
+                "createdAt",
+                "wave",
+                "host",
+                "type_id",
+                "page_no",
+                "link_index",
+                "fetch_ts",
+            )
+        )
+        cat.write("articles", wave, records)
+        cat.write(
+            "documents",
+            wave,
+            ok.select(F.col("canonical_url").alias("doc_id"), "spans"),
+        )
+
+        # ---------- lineage ----------
+        t1 = time.time()
+        lineage = (
+            parsed.groupBy("wave", "host")
+            .agg(
+                F.count("*").alias("n_fetched"),
+                F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
+                F.sum((~F.col("parse_ok")).cast("long")).alias("n_errors"),
+            )
+            .unionByName(
+                parsed_listings.groupBy("host")
+                .agg(
+                    F.count("*").alias("n_fetched"),
+                    F.lit(0).cast("long").alias("n_parsed"),  # listings don't parse records
+                    F.sum(F.col("fetch_error").cast("long")).alias("n_errors"),
+                )
+                .withColumn("wave", F.lit(wave))
+                .select("wave", "host", "n_fetched", "n_parsed", "n_errors"),
+            )
+            .groupBy("wave", "host")
+            .agg(
+                F.sum("n_fetched").alias("n_fetched"),
+                F.sum("n_parsed").alias("n_parsed"),
+                F.sum("n_errors").alias("n_errors"),
+            )
+            .withColumn("n_bloom_fp", F.lit(n_bloom_fp))
+            .withColumn("t_start", F.lit(t0))
+            .withColumn("t_end", F.lit(t1))
+        )
+        cat.write("lineage", wave, lineage)
+
+        n_new = new_rows.count()
+        n_fetched = scheduled.count()
+        cat.commit_wave(
+            wave,
+            {
+                "n_fetched": n_fetched,
+                "n_new_urls": n_new,
+                "n_bloom_fp": n_bloom_fp,
+                "clock_base": new_clock,
+                "wall_s": time.time() - t0,
+            },
+        )
+        scheduled.unpersist()
+        parsed_listings.unpersist()
+        parsed.unpersist()
+        new_rows.unpersist()
+        return new_clock
+
+    # ------------------------------------------------------------------
+    # Final outputs
+    # ------------------------------------------------------------------
+
+    def articles_df(self) -> DataFrame:
+        """All article records with the materialized crawl_order rank."""
+        df = self.cat.read_upto("articles", self.cat.last_wave())
+        w = Window.orderBy("wave", "host", "type_id", "page_no", "link_index")
+        return df.withColumn("crawl_order", F.row_number().over(w) - 1)
+
+    def documents_df(self) -> DataFrame:
+        return self.cat.read_upto("documents", self.cat.last_wave())
+
+    def seen_df(self) -> DataFrame:
+        return self.cat.read_upto("seen", self.cat.last_wave())
+
+    def lineage_df(self) -> DataFrame:
+        return self.cat.read_upto("lineage", self.cat.last_wave())
+
+    def schedule_df(self) -> DataFrame:
+        """Per-fetch politeness timestamps of article fetches."""
+        df = self.cat.read_upto("articles", self.cat.last_wave())
+        return df.select("host", "wave", "type_id", "page_no", "link_index", "fetch_ts")
