@@ -1,0 +1,71 @@
+"""Streaming request intake: validation, X9 routing, frontier expansion."""
+
+import json
+import os
+
+import pytest
+
+from crawler_news_spark.streaming.requests import (
+    route_requests,
+    run_intake_stream,
+    requests_to_frontier_rows,
+    validate_requests,
+)
+
+
+@pytest.fixture()
+def categories(spark):
+    return spark.createDataFrame(
+        [("h1.vn", 0, "a"), ("h1.vn", 1, "b"), ("h2.vn", 0, "c")],
+        "host string, type_id int, slug string",
+    )
+
+
+def test_validate_and_route(spark):
+    raw = spark.createDataFrame(
+        [
+            ("NEWS", "GENERAL", "https://h1.vn/a/bai-1234567.html"),
+            ("NEWS", "GENERAL", "https://h1.vn"),
+            ("OTHER", "GENERAL", "https://h1.vn/a/bai-1234567.html"),  # dropped
+            ("NEWS", "SPECIAL", "https://h1.vn/x"),  # dropped
+        ],
+        "source string, action string, url string",
+    )
+    routed = route_requests(validate_requests(raw)).collect()
+    assert len(routed) == 2
+    by_url = {r["url"]: r["route"] for r in routed}
+    assert by_url["https://h1.vn/a/bai-1234567.html"] == "article"
+    assert by_url["https://h1.vn"] == "expand"
+
+
+def test_expand_to_categories(spark, categories):
+    raw = spark.createDataFrame(
+        [("NEWS", "GENERAL", "https://h1.vn")],
+        "source string, action string, url string",
+    )
+    rows = requests_to_frontier_rows(
+        route_requests(validate_requests(raw)), categories
+    ).collect()
+    assert {(r["kind"], r["type_id"]) for r in rows} == {("listing", 0), ("listing", 1)}
+
+
+def test_file_stream_intake(spark, categories, tmp_path):
+    req_dir = str(tmp_path / "req")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(req_dir)
+    with open(os.path.join(req_dir, "r1.json"), "w") as f:
+        f.write(json.dumps({"source": "NEWS", "action": "GENERAL",
+                            "url": "https://h2.vn/c/bai-7654321.html"}) + "\n")
+        f.write(json.dumps({"source": "NEWS", "action": "GENERAL",
+                            "url": "https://h1.vn"}) + "\n")
+
+    got = []
+
+    def sink(df, epoch_id):
+        got.extend(df.collect())
+
+    q = run_intake_stream(spark, req_dir, categories, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    kinds = sorted((r["kind"], r["host"]) for r in got)
+    assert kinds == [("article", "h2.vn"), ("listing", "h1.vn"), ("listing", "h1.vn")]
