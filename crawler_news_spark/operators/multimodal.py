@@ -1,0 +1,94 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Media payloads travel as ``binary`` columns with a typed metadata struct —
+never decoded on the JVM.  Decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` operators whose Spark-side plumbing
+(schema, batch shape, partitioning) is real and tested; the actual
+image/audio codecs are NOT in this container, so the decode kernels are
+STUBBED: ``decode_media(..., real_codecs=True)`` raises NotImplementedError,
+and the default path emits a deterministic fake derived from the bytes
+(stable across executors), clearly marked as such.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, media_kind string, n_bytes long, sha1 string, "
+    "width int, height int, n_frames int"
+)
+
+
+def synth_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic binary payload column from text (test corpus
+    stand-in for real image/audio bytes) + its kind."""
+    return docs.select(
+        id_col,
+        F.encode(F.col(text_col), "utf-8").alias("media_bytes"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_kind"),
+    )
+
+
+def decode_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """Decode + feature-extract as an Arrow-batched operator.
+
+    real_codecs=True is the production path (PIL/ffmpeg) — unavailable in
+    this container, so it raises; the stub path derives deterministic
+    pseudo-metadata from the payload bytes (sha1-seeded), keeping schema,
+    batching and partitioning behavior identical to the real kernel.
+    """
+    if real_codecs:
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "run with real_codecs=False for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            n_bytes, sha1s, widths, heights, frames = [], [], [], [], []
+            for b in pdf["media_bytes"]:
+                raw = bytes(b)
+                d = hashlib.sha1(raw).digest()
+                h = int.from_bytes(d[:8], "big")
+                n_bytes.append(len(raw))
+                sha1s.append(d.hex())
+                widths.append(16 + h % 1920)
+                heights.append(16 + (h >> 16) % 1080)
+                frames.append(1 + (h >> 32) % 240)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "n_bytes": n_bytes,
+                    "sha1": sha1s,
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def frame_sample(meta: DataFrame, every_n: int = 24) -> DataFrame:
+    """Frame-sampling plan for video rows — pure built-ins (sequence+explode)."""
+    return (
+        meta.filter(F.col("media_kind") == "video")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,540 @@
+"""Driver-contract query registry: named queries + their DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline family) is exposed as a ``(spark, sf_dir) -> DataFrame`` callable
+with — where ANSI-SQL can express it — an exact DuckDB twin.  Column names
+and integerized numerics are kept identical on both sides so the driver's
+order-insensitive value-hash comparison is byte-stable.
+
+Float policy: nothing floating-point crosses the comparison boundary —
+similarities/scores/money are integerized per row (micro-units / cents)
+BEFORE any aggregation, making sums order-independent and engine-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .operators import dedup as DD
+from .operators import multimodal as MM
+from .operators import similarity as SIM
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational / reference-derived queries
+# ---------------------------------------------------------------------------
+
+
+def q_keepfirst_dedup(spark, sf_dir):
+    """A2 keep-first (remove_record_duplicate.py): first doc per (source,lang)."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.keep_first_dedup(docs, ["source", "lang"], "doc_id").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+SQL_KEEPFIRST = """
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+"""
+
+
+def q_dup_groups(spark, sf_dir):
+    """A1 duplicate-group find (filter_duplicate_record.py:25-62)."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.duplicate_groups(docs, ["source", "lang"], "doc_id").select(
+        "source", "lang", "dup_id"
+    )
+
+
+SQL_DUP_GROUPS = """
+    WITH g AS (
+      SELECT source, lang, list_sort(list(doc_id)) AS ids, count(*) AS cnt
+      FROM documents GROUP BY source, lang HAVING count(*) > 1
+    )
+    SELECT source, lang, unnest(ids[2:]) AS dup_id FROM g
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("content_hash", "doc_id", "n_copies")
+
+
+SQL_EXACT_DEDUP = """
+    SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+"""
+
+
+def q_date_range(spark, sf_dir):
+    """S9 date-range read — replicates the reference's *string*-compare trap
+    (mongodb_utils.py:99-106 compares zero-padded date strings)."""
+    ev = load(spark, sf_dir, "events")
+    s = F.date_format("ts", "dd/MM/yyyy, HH:mm")
+    return (
+        ev.withColumn("ts_str", s)
+        .filter(
+            (F.col("ts_str") >= "05/01/2024, 00:00")
+            & (F.col("ts_str") <= "20/01/2024, 23:59")
+        )
+        .select("event_id", "ts_str", "event_type")
+    )
+
+
+SQL_DATE_RANGE = """
+    SELECT event_id, strftime(ts, '%d/%m/%Y, %H:%M') AS ts_str, event_type
+    FROM events
+    WHERE strftime(ts, '%d/%m/%Y, %H:%M') >= '05/01/2024, 00:00'
+      AND strftime(ts, '%d/%m/%Y, %H:%M') <= '20/01/2024, 23:59'
+"""
+
+
+def q_group_count(spark, sf_dir):
+    """A4/R4 grouping with integerized money math."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("value_cents")
+    )
+
+
+SQL_GROUP_COUNT = """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events GROUP BY event_type
+"""
+
+
+def q_category_filter(spark, sf_dir):
+    """S9 point read: articles by category (get_articles_by_category)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == "en").select("doc_id", "source", "n_chars")
+
+
+SQL_CATEGORY_FILTER = "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
+
+
+def q_md5_prefix(spark, sf_dir):
+    """X6 UI-change hash: md5 of the first 100 chars (ui_checker.py:31-32)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.md5_prefix_hash(F.col("text"), 100).alias("ui_hash"))
+
+
+SQL_MD5_PREFIX = "SELECT doc_id, md5(substr(text, 1, 100)) AS ui_hash FROM documents"
+
+
+def q_datasource_extract(spark, sf_dir):
+    """R1 dataSource derivation ('/'.join(url.split('/')[:3]), vnexpress.py:235)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.vn/bai/"),
+                   F.col("doc_id").cast("string"))
+    return docs.select("doc_id", TX.datasource_of(url).alias("dataSource"))
+
+
+SQL_DATASOURCE = """
+    SELECT doc_id,
+           concat('https://', source, '.example.vn') AS dataSource
+    FROM documents
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by price (window row_number pattern)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price_cents"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("price_cents", cents)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "price_cents", "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+    SELECT o_custkey, o_orderkey, price_cents, CAST(rank AS INT) AS rank FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                                         o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate, per-row integerized so sums are exact."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_c"),
+            F.sum(price).alias("sum_price_c"),
+            F.sum(disc).alias("sum_disc_price_c"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_price_c,
+           count(*) AS n_rows
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT user_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("tok_ws"),
+        TX.token_count_bpe_ish(F.col("text")).alias("tok_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(trim(text), '\S+')) AS tok_ws,
+           len(regexp_extract_all(text, '[a-zA-Z]{1,4}|\d|[^\sa-zA-Z\d]')) AS tok_bpe
+    FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality_u"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT_Q = f"SELECT doc_id, {TX.SQL_FINGERPRINT} AS fp FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH / Jaccard family
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)
+    )
+"""
+
+_SQL_SIGS = """
+    , sigs AS (
+      SELECT doc_id,
+        min(md5(concat('s0|', shingle))) AS sig0, min(md5(concat('s1|', shingle))) AS sig1,
+        min(md5(concat('s2|', shingle))) AS sig2, min(md5(concat('s3|', shingle))) AS sig3,
+        min(md5(concat('s4|', shingle))) AS sig4, min(md5(concat('s5|', shingle))) AS sig5,
+        min(md5(concat('s6|', shingle))) AS sig6, min(md5(concat('s7|', shingle))) AS sig7
+      FROM sh GROUP BY doc_id
+    )
+"""
+
+_SQL_BANDS = """
+    , bands AS (
+      SELECT doc_id, 0 AS band, md5(concat(sig0, sig1)) AS bhash FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(concat(sig2, sig3)) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(concat(sig4, sig5)) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(concat(sig6, sig7)) FROM sigs
+    )
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_signatures(DD.shingles(docs))
+
+
+SQL_MINHASH_SIGS = (
+    _SQL_SHINGLES + _SQL_SIGS
+    + "SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7 FROM sigs"
+)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return DD.lsh_candidate_pairs(DD.minhash_signatures(DD.shingles(docs)))
+
+
+SQL_MINHASH_PAIRS = (
+    _SQL_SHINGLES + _SQL_SIGS + _SQL_BANDS + "SELECT doc_a, doc_b FROM pairs"
+)
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_near_dups(docs, threshold_u=400_000)
+
+
+SQL_MINHASH_NEAR_DUPS = (
+    _SQL_SHINGLES + _SQL_SIGS + _SQL_BANDS
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(floor(i.n_inter * 1e6 / (sa.sz + sb.sz - i.n_inter) + 0.5) AS BIGINT) AS jaccard_u
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(floor(i.n_inter * 1e6 / (sa.sz + sb.sz - i.n_inter) + 0.5) AS BIGINT) >= 400000
+"""
+)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """vUDF SimHash — no SQL twin (pytest-verified vs pure Python)."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.simhash_near_dups(docs, max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity family
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, n_queries=5, k=10)
+
+
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Brute-force near-dup pairs (the oracle-able exact baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), SIM._as_double(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), SIM._as_double(F.col("embedding")).alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim_u",
+            F.floor(SIM.cosine_sim_col(F.col("ea"), F.col("eb")) * 1e6 + F.lit(0.5)).cast("long"),
+        )
+        .filter(F.col("sim_u") >= 900_000)
+        .select("id_a", "id_b", "sim_u")
+    )
+
+
+SQL_EMB_NEAR_DUPS = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) AS sim_u
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) >= 900000
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the 10^10-scale path) — recall pytest-verified."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucket_topk(emb, n_queries=5, k=10)
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, threshold_u=900_000)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal family
+# ---------------------------------------------------------------------------
+
+
+def q_media_metadata(spark, sf_dir):
+    """Binary media plumbing: payload bytes + deterministic metadata."""
+    docs = load(spark, sf_dir, "documents")
+    meta = MM.decode_media(MM.synth_media(docs))
+    return meta.select("doc_id", "media_kind", "n_bytes")
+
+
+SQL_MEDIA_META = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return MM.frame_sample(MM.decode_media(MM.synth_media(docs)), every_n=24)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-engine flagship (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_flagship(spark, sf_dir):
+    """Full wave crawl of a small synthetic web -> span documents."""
+    import tempfile
+
+    from .plans.wave import CrawlRunConfig, WaveCrawl
+    from .sources import hostsim as hs
+
+    web = hs.default_web(scale=0.5)
+    root = tempfile.mkdtemp(prefix="flagship_cat_")
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    wc.run()
+    return wc.documents_df().select(
+        "doc_id", F.posexplode("spans").alias("i", "span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "keepfirst_dedup": q_keepfirst_dedup,
+        "dup_groups": q_dup_groups,
+        "exact_dedup": q_exact_dedup,
+        "date_range": q_date_range,
+        "group_count": q_group_count,
+        "category_filter": q_category_filter,
+        "md5_prefix": q_md5_prefix,
+        "datasource_extract": q_datasource_extract,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "sessionize": q_sessionize,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "lsh_topk": q_lsh_topk,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+        "crawl_flagship": q_crawl_flagship,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "keepfirst_dedup": SQL_KEEPFIRST,
+        "dup_groups": SQL_DUP_GROUPS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "date_range": SQL_DATE_RANGE,
+        "group_count": SQL_GROUP_COUNT,
+        "category_filter": SQL_CATEGORY_FILTER,
+        "md5_prefix": SQL_MD5_PREFIX,
+        "datasource_extract": SQL_DATASOURCE,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "pricing_summary": SQL_PRICING,
+        "sessionize": SQL_SESSIONIZE,
+        "token_count": SQL_TOKEN_COUNT,
+        "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
+        "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
+        "fingerprint": SQL_FINGERPRINT_Q,
+        "minhash_signatures": SQL_MINHASH_SIGS,
+        "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
+        "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+        "cosine_topk": SIM.sql_cosine_topk(5, 10),
+        "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
+        "media_metadata": SQL_MEDIA_META,
+        # rows-only (non-SQL-expressible): simhash_near_dups, lsh_topk,
+        # embedding_near_dups_lsh, frame_sample, crawl_flagship
+    }

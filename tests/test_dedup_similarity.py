@@ -1,0 +1,119 @@
+"""Dedup + similarity semantics on planted fixtures (independent of DuckDB)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawler_news_spark.operators import dedup as DD
+from crawler_news_spark.operators import multimodal as MM
+from crawler_news_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest where nobody ever goes at night"
+    )
+    rows = [
+        (0, base, "en", "s1"),
+        (1, base, "en", "s1"),  # exact dup of 0
+        (2, base.replace("quick", "rapid"), "en", "s1"),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and arrow batches", "en", "s2"),
+        (4, "another unrelated document mentioning bloom filters and cuckoo hashing", "en", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_planted(planted_docs):
+    out = {r["doc_id"]: r["n_copies"] for r in DD.exact_dedup(planted_docs).collect()}
+    assert out[0] == 2  # doc 0+1 collapse, min id kept
+    assert 1 not in out
+
+
+def test_minhash_finds_planted_near_dup(planted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_u"]
+             for r in DD.minhash_near_dups(planted_docs, threshold_u=500_000).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1_000_000  # exact dup -> j=1
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any({a, b} == {3, 4} for a, b in pairs)  # unrelated not paired
+
+
+def test_simhash_python_vs_spark(spark, planted_docs):
+    got = {r["doc_id"]: r["sh"] for r in
+           planted_docs.select("doc_id", DD.simhash_col("text").alias("sh")).collect()}
+    for r in planted_docs.collect():
+        assert got[r["doc_id"]] == DD.simhash_py(r["text"])
+
+
+def test_simhash_near_dups_planted(planted_docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in DD.simhash_near_dups(planted_docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near dup
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(emb):
+    out = SIM.cosine_topk(emb, n_queries=2, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["sim_u"]))
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r[2] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r[1] != q for r in rows)
+
+
+def test_lsh_topk_recall(emb):
+    """Multi-probe LSH top-k recall >= 0.6 vs brute force on this fixture."""
+    exact = SIM.cosine_topk(emb, n_queries=3, k=5, vec_col="embedding")
+    approx = SIM.lsh_bucket_topk(emb, n_queries=3, k=5, n_planes=4, dim=16)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6
+
+
+def test_embedding_near_dups_lsh_finds_planted(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             SIM.embedding_near_dups(emb, threshold_u=990_000, n_planes=4, dim=16).collect()}
+    assert (3, 7) in pairs
+
+
+def test_media_decode_stub(spark, planted_docs):
+    meta = MM.decode_media(MM.synth_media(planted_docs)).collect()
+    assert len(meta) == 5
+    for r in meta:
+        assert r["media_kind"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        assert 16 <= r["width"] <= 16 + 1920 and 16 <= r["height"] <= 16 + 1080
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(MM.synth_media(planted_docs), real_codecs=True)
+
+
+def test_frame_sample(spark, planted_docs):
+    meta = MM.decode_media(MM.synth_media(planted_docs))
+    frames = MM.frame_sample(meta, every_n=24).collect()
+    vids = {r["doc_id"] for r in meta.collect() if r["media_kind"] == "video"}
+    assert {r["doc_id"] for r in frames} == vids
+    for r in frames:
+        assert r["frame_idx"] % 24 == 0
+
+
+def test_keep_first_and_dup_groups(spark, planted_docs):
+    kept = DD.keep_first_dedup(planted_docs, ["source"], "doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 3]
+    dups = DD.duplicate_groups(planted_docs, ["source"], "doc_id").collect()
+    assert sorted(r["dup_id"] for r in dups) == [1, 2, 4]
