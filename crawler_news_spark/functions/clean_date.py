@@ -166,6 +166,110 @@ def clean_date_col(col: Column) -> Column:
     return t
 
 
+def clean_date_staged(df, src: str, dst: str):
+    """``clean_date`` as a staged column pipeline over a DataFrame.
+
+    Semantically identical to :func:`clean_date_col`, but each intermediate
+    is a *named column*: naive Column composition duplicates subtrees at
+    every ``when/otherwise`` (the tree grows multiplicatively, costing
+    seconds of analysis per wave and repeated regex evaluation per row);
+    naming the stages keeps the tree linear.  Still 100% built-in
+    expressions — no UDF.
+    """
+    t = F.regexp_replace(F.col(src), r"(?i)^Cập nhật lúc\s*", "")
+    t = F.trim(t)
+    t = F.regexp_replace(t, r"(?iU)(Thứ\s\w+|Chủ\sNhật)[,\s-]*(ngày\s*)?", "")
+    t = F.trim(t)
+    t = F.regexp_replace(t, r"(?i)\s*lúc\s*", " ")
+    t = F.regexp_replace(t, r"\(GMT\)", "")
+    t = F.replace(t, F.lit(" - "), F.lit(", "))
+    t = F.replace(t, F.lit(" -"), F.lit(","))
+    t = F.replace(t, F.lit("- "), F.lit(","))
+    df = df.withColumn("_cd0", t)
+
+    c0 = F.col("_cd0")
+    df = df.withColumns(
+        {
+            "_tf_h": F.regexp_extract(c0, _TIME_FIRST, 1),
+            "_tf_m": F.regexp_extract(c0, _TIME_FIRST, 2),
+            "_tf_d": F.regexp_extract(c0, _TIME_FIRST, 3),
+            "_tf_mo": F.regexp_extract(c0, _TIME_FIRST, 4),
+            "_tf_y": F.regexp_extract(c0, _TIME_FIRST, 5),
+            "_dm": F.regexp_extract(c0, _DATE, 0),
+            "_dd": F.regexp_extract(c0, _DATE, 1),
+            "_dmo": F.regexp_extract(c0, _DATE, 2),
+            "_dy": F.regexp_extract(c0, _DATE, 3),
+        }
+    )
+    padded_date = F.concat(
+        _pad2(F.col("_dd")), F.lit("/"), _pad2(F.col("_dmo")), F.lit("/"), F.col("_dy")
+    )
+    df = df.withColumn(
+        "_cd1",
+        F.when(F.col("_dm") != "", F.replace(c0, F.col("_dm"), padded_date)).otherwise(c0),
+    )
+
+    c1 = F.col("_cd1")
+    df = df.withColumns(
+        {
+            "_a_h": F.regexp_extract(c1, _TIME_AMPM, 1),
+            "_a_m": F.regexp_extract(c1, _TIME_AMPM, 2),
+            "_a_p": F.upper(F.regexp_extract(c1, _TIME_AMPM, 3)),
+        }
+    )
+    hour24 = (
+        F.when(
+            (F.col("_a_p") == "PM") & (F.col("_a_h").cast("int") != 12),
+            F.col("_a_h").cast("int") + 12,
+        )
+        .when((F.col("_a_p") == "AM") & (F.col("_a_h").cast("int") == 12), F.lit(0))
+        .otherwise(F.col("_a_h").cast("int"))
+    )
+    norm_time = F.concat(_pad2(hour24), F.lit(":"), F.col("_a_m"))
+    t_else = F.when(
+        F.col("_a_h") != "", F.regexp_replace(c1, _TIME_AMPM, norm_time)
+    ).otherwise(c1)
+    t_else = F.regexp_replace(t_else, r"(\d{2}/\d{2}/\d{4})\s+(\d{2}:\d{2})", r"$1, $2")
+    time_first = F.concat(
+        _pad2(F.col("_tf_d")), F.lit("/"), _pad2(F.col("_tf_mo")), F.lit("/"),
+        F.col("_tf_y"), F.lit(", "), _pad2(F.col("_tf_h")), F.lit(":"), F.col("_tf_m"),
+    )
+    df = df.withColumn(
+        "_cd2", F.when(F.col("_tf_h") != "", time_first).otherwise(t_else)
+    )
+
+    c2 = F.col("_cd2")
+    df = df.withColumns(
+        {
+            "_tz_d": F.regexp_extract(c2, _TZ_COMBO, 1),
+            "_tz_t": F.regexp_extract(c2, _TZ_COMBO, 2),
+        }
+    )
+    t3 = F.when(
+        F.col("_tz_d") != "",
+        F.concat(F.col("_tz_d"), F.lit(", "), F.col("_tz_t"), F.lit(" (GMT+7)")),
+    ).otherwise(c2)
+    df = df.withColumn("_cd3", t3)
+
+    c3 = F.col("_cd3")
+    t4 = F.regexp_replace(c3, r"(:\d{2})\s?\+?\d{1,2}:\d{2}", "")
+    t4 = F.regexp_replace(t4, r"(?<!\s)\(GMT\+7\)", " (GMT+7)")
+    df = df.withColumn("_cd4", t4)
+    df = df.withColumn(
+        dst,
+        F.when(
+            ~F.col("_cd4").contains("(GMT+7)"), F.concat(F.col("_cd4"), F.lit(" (GMT+7)"))
+        ).otherwise(F.col("_cd4")),
+    )
+    drop = [c for c in df.columns if c.startswith(("_cd", "_tf_", "_a_", "_tz_", "_d"))
+            and c != dst and c in (
+                "_cd0", "_cd1", "_cd2", "_cd3", "_cd4", "_tf_h", "_tf_m", "_tf_d",
+                "_tf_mo", "_tf_y", "_dm", "_dd", "_dmo", "_dy", "_a_h", "_a_m",
+                "_a_p", "_tz_d", "_tz_t",
+            )]
+    return df.drop(*drop)
+
+
 def published_ts_col(clean: Column) -> Column:
     """Typed timestamp derived from the normalized string (engine addition).
 

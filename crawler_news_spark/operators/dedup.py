@@ -162,13 +162,45 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") ->
     return out
 
 
+def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id",
+                       min_matches: int = 2) -> DataFrame:
+    """Prune LSH candidates by the MinHash Jaccard *estimate* (matching
+    signature count) before the expensive exact-Jaccard shingle join.
+
+    The estimate is a column comparison on the small signature table — on a
+    shared-vocabulary corpus the banded LSH emits many low-similarity
+    candidates, and the shingle join is |pairs| x |shingles/doc| rows; this
+    cuts it by ~an order of magnitude.  Deterministic, so the DuckDB oracle
+    applies the identical rule.
+    """
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_SIGS)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_SIGS)]
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_SIGS)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_matches", est)
+        .filter(F.col("est_matches") >= min_matches)
+        .select("doc_a", "doc_b")
+    )
+
+
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", threshold_u: int = 500_000) -> DataFrame:
-    """Full pipeline: shingles -> signatures -> LSH pairs -> Jaccard filter."""
+                      id_col: str = "doc_id", threshold_u: int = 500_000,
+                      min_sig_matches: int = 2) -> DataFrame:
+    """Full pipeline: shingles -> signatures -> LSH pairs -> estimate prune
+    -> exact Jaccard filter."""
     sh = shingles(docs, text_col, id_col).cache()
     sigs = minhash_signatures(sh, id_col)
     pairs = lsh_candidate_pairs(sigs, id_col)
-    jac = jaccard_on_pairs(pairs, sh, id_col)
+    pruned = sig_estimate_prune(pairs, sigs, id_col, min_sig_matches)
+    jac = jaccard_on_pairs(pruned, sh, id_col)
     return jac.filter(F.col("jaccard_u") >= threshold_u)
 
 

@@ -68,7 +68,12 @@ class CrawlCatalog:
         d = os.path.join(self.root, table)
         return d if wave is None else os.path.join(d, f"wave-{wave}")
 
-    def write(self, table: str, wave: int, df: DataFrame) -> None:
+    def write(self, table: str, wave: int, df: DataFrame, parts: int | None = None) -> None:
+        """Append a wave snapshot.  ``parts`` coalesces small deltas so tiny
+        waves don't write #shuffle-partitions near-empty files (at cluster
+        scale leave None and let AQE size the output)."""
+        if parts is not None:
+            df = df.coalesce(parts)
         df.write.mode("overwrite").parquet(self._dir(table, wave))
 
     def has(self, table: str, wave: int) -> bool:
@@ -76,6 +81,14 @@ class CrawlCatalog:
 
     def read_wave(self, table: str, wave: int) -> DataFrame:
         return self.spark.read.parquet(self._dir(table, wave))
+
+    def latest_wave_of(self, table: str, upto: int) -> int | None:
+        """Highest committed wave <= upto that has a snapshot of ``table``
+        (tables skip their write on empty waves)."""
+        for w in range(upto, -1, -1):
+            if self.has(table, w):
+                return w
+        return None
 
     def read_upto(self, table: str, upto_wave: int) -> DataFrame | None:
         """Union of all committed waves <= upto_wave (directory-pruned)."""

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schema as SCH
-from ..functions.clean_date import clean_date_col
+from ..functions.clean_date import clean_date_staged
 from ..functions.urlnorm import absolutize_col, canonical_hash_col, canonicalize_col
 from ..operators import parse as P
 from ..operators import politeness as pol
@@ -45,6 +45,7 @@ class CrawlRunConfig:
     bloom_expected_per_bucket: int = 4096
     use_bloom: bool = True
     created_at: str = "2026-01-01T00:00:00+00:00"  # deterministic createdAt stamp
+    write_parts: int | None = 8  # coalesce small wave deltas; None at cluster scale
 
 
 class WaveCrawl:
@@ -64,8 +65,31 @@ class WaveCrawl:
             SCH.HOSTS,
         ).cache()
         self.delays = {s.host: s.crawl_delay_s for s in web.hosts}
+        self.robots_rules = {s.host: s.robots_disallow for s in web.hosts}
+        self.slug_dim = F.broadcast(
+            spark.createDataFrame(
+                [(r["host"], r["type_id"], r["slug"]) for r in hs.categories_rows(web)],
+                SCH.CATEGORIES,
+            ).withColumnRenamed("slug", "article_type")
+        )
         m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
         self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
+
+    RECORDS_DDL = (
+        "dataSource string, url string, publishedDate string, author string, "
+        "title string, imageUrl string, description string, content string, "
+        "comments array<string>, contentImageUrls array<string>, "
+        "article_type string, createdAt string, wave int, host string, "
+        "type_id int, page_no int, link_index int, fetch_ts double"
+    )
+    DOCS_DDL = (
+        "doc_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    LINEAGE_DDL = (
+        "wave int, host string, n_fetched long, n_parsed long, n_errors long, "
+        "n_bloom_fp long, t_start double, t_end double"
+    )
 
     # ------------------------------------------------------------------
     def seed_frontier(self) -> DataFrame:
@@ -105,147 +129,183 @@ class WaveCrawl:
             clock_base = {}
 
         stats = {"n_waves": 0, "t_start": time.time()}
-        while frontier is not None and not frontier.isEmpty():
+        while frontier is not None:
             if wave >= cfg.max_waves:
                 raise RuntimeError("max_waves exceeded")
-            clock_base = self._run_wave(wave, frontier, clock_base)
+            clock_base, n_next = self._run_wave(wave, frontier, clock_base)
             wave += 1
-            frontier = cat.read_wave("frontier", wave) if cat.has("frontier", wave) else None
+            if n_next <= 0 or not cat.has("frontier", wave):
+                break
+            frontier = cat.read_wave("frontier", wave)
         stats["n_waves"] = wave
         stats["t_end"] = time.time()
         return stats
 
     # ------------------------------------------------------------------
-    def _run_wave(self, wave: int, frontier: DataFrame, clock_base: dict) -> dict:
+    def _run_wave(self, wave: int, frontier: DataFrame, clock_base: dict) -> tuple[dict, int]:
+        """Process one wave.  Returns (new clock_base, next-frontier row count).
+
+        Branch-skips: a wave with no listings (tail article waves) or no
+        articles (wave 0) writes empty snapshots directly instead of running
+        the full sub-plan — per-wave driver overhead is the throughput tax at
+        small scale, so every action here is accounted for (row totals ride
+        along with the politeness counts; no standalone count() of the
+        frontier).
+        """
         cat, cfg, web = self.cat, self.cfg, self.web
+        spark = self.spark
         t0 = time.time()
+        parts = cfg.write_parts
 
-        scheduled, new_clock = pol.schedule_wave(frontier, self.delays, clock_base)
-        scheduled = scheduled.cache()
+        scheduled, new_clock, totals = pol.schedule_wave(frontier, self.delays, clock_base)
+        has_listings = totals["listing"] > 0
+        has_articles = totals["article"] > 0
+        if has_listings or has_articles:
+            scheduled = scheduled.cache()
 
-        listings = scheduled.filter(F.col("kind") == "listing")
-        articles = scheduled.filter(F.col("kind") == "article")
+        bw = cat.latest_wave_of("bloom", wave - 1)
+        bloom_tbl = cat.read_wave("bloom", bw) if bw is not None else None
+        n_bloom_fp = 0
+        n_new = 0
+        next_listing_rows: list[tuple] = []
+        lineage_parts = []
 
-        # ---------- listings: fetch/parse -> candidates ----------
-        parsed_listings = P.fetch_parse_listings(web, listings).cache()
+        # ---------- listings: fetch/parse -> candidates -> seen filter ----------
+        if has_listings:
+            listings = scheduled.filter(F.col("kind") == "listing")
+            parsed_listings = P.fetch_parse_listings(web, listings).cache()
 
-        links = P.explode_links(parsed_listings)
-        hosts_dim = F.broadcast(self.hosts_df.select("host", "base_url"))
-        candidates = (
-            links.join(hosts_dim, "host")
-            .withColumn("url", absolutize_col(F.col("href"), F.col("base_url")))
-            .withColumn("canonical_url", canonicalize_col(F.col("url")))
-            .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
-            .drop("href", "base_url")
-        )
-        candidates = pol.robots_filter(candidates, self.hosts_df)
-
-        # within-wave keep-first by the crawl key (min_by, one shuffle)
-        key = F.struct("type_id", "page_no", "link_index", "host", "url")
-        candidates = (
-            candidates.groupBy("canonical_hash", "canonical_url")
-            .agg(F.min(key).alias("k"))
-            .select(
-                "canonical_hash",
-                "canonical_url",
-                F.col("k.host").alias("host"),
-                F.col("k.type_id").alias("type_id"),
-                F.col("k.page_no").alias("page_no"),
-                F.col("k.link_index").alias("link_index"),
-                F.col("k.url").alias("url"),
+            links = P.explode_links(parsed_listings)
+            hosts_dim = F.broadcast(self.hosts_df.select("host", "base_url"))
+            candidates = (
+                links.join(hosts_dim, "host")
+                .withColumn("url", absolutize_col(F.col("href"), F.col("base_url")))
+                .withColumn("canonical_url", canonicalize_col(F.col("url")))
+                .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+                .drop("href", "base_url")
             )
-        )
+            candidates = pol.robots_filter(candidates, self.robots_rules)
 
-        # ---------- seen-set: bloom prefilter + exact anti-join ----------
-        seen_tbl = cat.read_upto("seen", wave - 1)
-        bloom_tbl = cat.read_wave("bloom", wave - 1) if cat.has("bloom", wave - 1) else None
-        if cfg.use_bloom and seen_tbl is not None and bloom_tbl is not None:
-            new_rows, recovered = S.seen_anti_join(
-                candidates, seen_tbl, self.bloom_state, bloom_tbl
-            )
-            n_bloom_fp = recovered.count() if recovered is not None else 0
-        else:
-            new_rows, _ = S.seen_anti_join(candidates, seen_tbl)
-            n_bloom_fp = 0
-        new_rows = new_rows.cache()
-
-        # ---------- stop rule + next listing batch ----------
-        stops = (
-            parsed_listings.groupBy("host", "type_id")
-            .agg(
-                F.max(
-                    (F.size("out_links") == 0) | F.col("is_terminal") | F.col("fetch_error")
-                ).alias("stopped"),
-                F.max("page_no").alias("max_page"),
-            )
-            .collect()
-        )
-        next_listing_rows = []
-        for r in stops:
-            if r["stopped"]:
-                continue
-            for p in range(r["max_page"] + 1, r["max_page"] + 1 + cfg.batch_pages):
-                url = hs.listing_url(web, r["host"], r["type_id"], p)
-                next_listing_rows.append(
-                    (wave + 1, r["host"], "listing", r["type_id"], p, 0, url, url,
-                     0, wave + 1, 1.0 / (2 + wave))
+            # within-wave keep-first by the crawl key (min_by, one shuffle)
+            key = F.struct("type_id", "page_no", "link_index", "host", "url")
+            candidates = (
+                candidates.groupBy("canonical_hash", "canonical_url")
+                .agg(F.min(key).alias("k"))
+                .select(
+                    "canonical_hash",
+                    "canonical_url",
+                    F.col("k.host").alias("host"),
+                    F.col("k.type_id").alias("type_id"),
+                    F.col("k.page_no").alias("page_no"),
+                    F.col("k.link_index").alias("link_index"),
+                    F.col("k.url").alias("url"),
                 )
-        next_listings = self.spark.createDataFrame(
-            next_listing_rows, frontier.schema
-        ).withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
-
-        # priority: depth + recency proxy (north_rule) — BFS depth dominant,
-        # per-URL recency hash as tiebreak for budget-capped scheduling
-        next_articles = new_rows.select(
-            F.lit(wave + 1).alias("wave"),
-            "host",
-            F.lit("article").alias("kind"),
-            "type_id",
-            "page_no",
-            "link_index",
-            "url",
-            "canonical_url",
-            "canonical_hash",
-            F.lit(wave + 1).alias("depth"),
-            (
-                1.0 / (2.0 + wave)
-                + F.pmod(F.col("canonical_hash"), F.lit(1000)).cast("double") / 1e6
-            ).alias("priority"),
-        )
-        cat.write("frontier", wave + 1, next_listings.unionByName(next_articles))
-
-        # ---------- seen + bloom deltas ----------
-        seen_delta = new_rows.select(
-            "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
-        )
-        cat.write("seen", wave, seen_delta)
-        if cfg.use_bloom:
-            delta = self.bloom_state.build_delta(cat.read_wave("seen", wave))
-            merged = (
-                self.bloom_state.merge(bloom_tbl, delta)
-                if bloom_tbl is not None
-                else self.bloom_state.merge(self.bloom_state.empty_df(self.spark), delta)
             )
-            cat.write("bloom", wave, merged)
+
+            # bloom prefilter + exact anti-join (bloom advisory, join exact)
+            seen_tbl = cat.read_upto("seen", wave - 1)
+            if cfg.use_bloom and seen_tbl is not None and bloom_tbl is not None:
+                new_rows, recovered = S.seen_anti_join(
+                    candidates, seen_tbl, self.bloom_state, bloom_tbl
+                )
+                n_bloom_fp = recovered.count() if recovered is not None else 0
+            else:
+                new_rows, _ = S.seen_anti_join(candidates, seen_tbl)
+            new_rows = new_rows.cache()
+            n_new = new_rows.count()
+
+            # stop rule + next listing batch
+            stops = (
+                parsed_listings.groupBy("host", "type_id")
+                .agg(
+                    F.max(
+                        (F.size("out_links") == 0)
+                        | F.col("is_terminal")
+                        | F.col("fetch_error")
+                    ).alias("stopped"),
+                    F.max("page_no").alias("max_page"),
+                )
+                .collect()
+            )
+            for r in stops:
+                if r["stopped"]:
+                    continue
+                for p in range(r["max_page"] + 1, r["max_page"] + 1 + cfg.batch_pages):
+                    url = hs.listing_url(web, r["host"], r["type_id"], p)
+                    next_listing_rows.append(
+                        (wave + 1, r["host"], "listing", r["type_id"], p, 0, url, url,
+                         0, wave + 1, 1.0 / (2 + wave))
+                    )
+
+            lineage_parts.append(
+                parsed_listings.groupBy("host")
+                .agg(
+                    F.count("*").alias("n_fetched"),
+                    F.lit(0).cast("long").alias("n_parsed"),
+                    F.sum(F.col("fetch_error").cast("long")).alias("n_errors"),
+                )
+                .withColumn("wave", F.lit(wave))
+                .select("wave", "host", "n_fetched", "n_parsed", "n_errors")
+            )
+
+            if n_new > 0:
+                seen_delta = new_rows.select(
+                    "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
+                )
+                cat.write("seen", wave, seen_delta, parts)
+
+            # next-wave article rows; priority = depth + recency proxy
+            next_articles = new_rows.select(
+                F.lit(wave + 1).alias("wave"),
+                "host",
+                F.lit("article").alias("kind"),
+                "type_id",
+                "page_no",
+                "link_index",
+                "url",
+                "canonical_url",
+                "canonical_hash",
+                F.lit(wave + 1).alias("depth"),
+                (
+                    1.0 / (2.0 + wave)
+                    + F.pmod(F.col("canonical_hash"), F.lit(1000)).cast("double") / 1e6
+                ).alias("priority"),
+            )
+        else:
+            next_articles = None
+
+        n_next = n_new + len(next_listing_rows)
+        if n_next > 0:
+            next_listings = spark.createDataFrame(
+                next_listing_rows, frontier.schema
+            ).withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+            next_frontier = (
+                next_listings.unionByName(next_articles)
+                if next_articles is not None and n_new > 0
+                else next_listings
+            )
+            cat.write("frontier", wave + 1, next_frontier, parts)
+
+        # ---------- bloom delta merge (skipped when nothing new) ----------
+        if cfg.use_bloom and n_new > 0:
+            delta = self.bloom_state.build_delta(cat.read_wave("seen", wave))
+            merged = self.bloom_state.merge(
+                bloom_tbl if bloom_tbl is not None else self.bloom_state.empty_df(spark),
+                delta,
+            )
+            cat.write("bloom", wave, merged, parts)
 
         # ---------- articles: fetch/parse -> records + spans ----------
-        parsed = P.fetch_parse_articles(web, articles).cache()
-        ok = parsed.filter(F.col("parse_ok"))
-        slug_dim = F.broadcast(
-            self.spark.createDataFrame(
-                [(r["host"], r["type_id"], r["slug"]) for r in hs.categories_rows(web)],
-                SCH.CATEGORIES,
-            ).withColumnRenamed("slug", "article_type")
-        )
-        records = (
-            ok.join(slug_dim, ["host", "type_id"])
-            .withColumn(
+        if has_articles:
+            articles = scheduled.filter(F.col("kind") == "article")
+            parsed = P.fetch_parse_articles(web, articles).cache()
+            ok = parsed.filter(F.col("parse_ok"))
+            rec = ok.join(self.slug_dim, ["host", "type_id"]).withColumn(
                 "dataSource",
                 F.concat_ws("/", F.slice(F.split("canonical_url", "/"), 1, 3)),
             )
-            .withColumn("publishedDate", clean_date_col(F.col("pub_date_raw")))
-            .withColumn("createdAt", F.lit(cfg.created_at))
-            .select(
+            rec = clean_date_staged(rec, "pub_date_raw", "publishedDate")
+            records = rec.withColumn("createdAt", F.lit(cfg.created_at)).select(
                 "dataSource",
                 F.col("canonical_url").alias("url"),
                 "publishedDate",
@@ -265,62 +325,64 @@ class WaveCrawl:
                 "link_index",
                 "fetch_ts",
             )
-        )
-        cat.write("articles", wave, records)
-        cat.write(
-            "documents",
-            wave,
-            ok.select(F.col("canonical_url").alias("doc_id"), "spans"),
-        )
+            cat.write("articles", wave, records, parts)
+            cat.write(
+                "documents",
+                wave,
+                ok.select(F.col("canonical_url").alias("doc_id"), "spans"),
+                parts,
+            )
+            lineage_parts.append(
+                parsed.groupBy("wave", "host").agg(
+                    F.count("*").alias("n_fetched"),
+                    F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
+                    F.sum((~F.col("parse_ok")).cast("long")).alias("n_errors"),
+                )
+            )
+        # (no empty-side writes: readers use latest_wave_of/has, and an empty
+        #  local-relation parquet write measures 4-6s of pure overhead)
 
         # ---------- lineage ----------
         t1 = time.time()
-        lineage = (
-            parsed.groupBy("wave", "host")
-            .agg(
-                F.count("*").alias("n_fetched"),
-                F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
-                F.sum((~F.col("parse_ok")).cast("long")).alias("n_errors"),
-            )
-            .unionByName(
-                parsed_listings.groupBy("host")
+        if lineage_parts:
+            lineage = lineage_parts[0]
+            for extra in lineage_parts[1:]:
+                lineage = lineage.unionByName(extra)
+            lineage = (
+                lineage.groupBy("wave", "host")
                 .agg(
-                    F.count("*").alias("n_fetched"),
-                    F.lit(0).cast("long").alias("n_parsed"),  # listings don't parse records
-                    F.sum(F.col("fetch_error").cast("long")).alias("n_errors"),
+                    F.sum("n_fetched").alias("n_fetched"),
+                    F.sum("n_parsed").alias("n_parsed"),
+                    F.sum("n_errors").alias("n_errors"),
                 )
-                .withColumn("wave", F.lit(wave))
-                .select("wave", "host", "n_fetched", "n_parsed", "n_errors"),
+                .withColumn("n_bloom_fp", F.lit(n_bloom_fp).cast("long"))
+                .withColumn("t_start", F.lit(t0))
+                .withColumn("t_end", F.lit(t1))
             )
-            .groupBy("wave", "host")
-            .agg(
-                F.sum("n_fetched").alias("n_fetched"),
-                F.sum("n_parsed").alias("n_parsed"),
-                F.sum("n_errors").alias("n_errors"),
-            )
-            .withColumn("n_bloom_fp", F.lit(n_bloom_fp))
-            .withColumn("t_start", F.lit(t0))
-            .withColumn("t_end", F.lit(t1))
-        )
-        cat.write("lineage", wave, lineage)
+            cat.write("lineage", wave, lineage, parts)
 
-        n_new = new_rows.count()
-        n_fetched = scheduled.count()
         cat.commit_wave(
             wave,
             {
-                "n_fetched": n_fetched,
+                "n_fetched": totals["listing"] + totals["article"],
                 "n_new_urls": n_new,
+                "n_next": n_next,
                 "n_bloom_fp": n_bloom_fp,
                 "clock_base": new_clock,
                 "wall_s": time.time() - t0,
             },
         )
-        scheduled.unpersist()
-        parsed_listings.unpersist()
-        parsed.unpersist()
-        new_rows.unpersist()
-        return new_clock
+        for df in (scheduled,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        if has_listings:
+            parsed_listings.unpersist()
+            new_rows.unpersist()
+        if has_articles:
+            parsed.unpersist()
+        return new_clock, n_next
 
     # ------------------------------------------------------------------
     # Final outputs

@@ -352,10 +352,23 @@ def q_minhash_near_dups(spark, sf_dir):
 SQL_MINHASH_NEAR_DUPS = (
     _SQL_SHINGLES + _SQL_SIGS + _SQL_BANDS
     + """
+    , pruned AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+      WHERE (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 2
+    )
     , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
     , inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-      FROM pairs p
+      FROM pruned p
       JOIN sh a ON a.doc_id = p.doc_a
       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY p.doc_a, p.doc_b

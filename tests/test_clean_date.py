@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from crawler_news_spark.functions.clean_date import (
     clean_date_col,
     clean_date_py,
+    clean_date_staged,
     published_ts_col,
 )
 
@@ -57,10 +58,15 @@ def test_clean_date_col_matches_py(spark):
             url = hs.article_url(cfg, spec.host, i % spec.n_types, i)
             raws.append(hs.article_fields(cfg, spec.host, url)["date_raw"])
     df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    want = [clean_date_py(r) for r in raws]
     got = [r["cleaned"] for r in
            df.select(clean_date_col(F.col("raw")).alias("cleaned")).collect()]
-    want = [clean_date_py(r) for r in raws]
     assert got == want
+    # staged (linear-tree) variant is byte-identical too
+    staged = clean_date_staged(df, "raw", "cleaned")
+    got2 = [r["cleaned"] for r in staged.collect()]
+    assert got2 == want
+    assert staged.columns == ["raw", "cleaned"]  # temps dropped
 
 
 def test_published_ts(spark):
