@@ -70,7 +70,14 @@ def _first(rx: re.Pattern, html: str) -> str | None:
 
 
 def make_spans(texts: list[str], images: list[str]) -> list[dict]:
-    """Span sequence: text spans in doc order, then image spans (§1.4)."""
+    """Span sequence: text spans in doc order, then image spans (§1.4).
+
+    The engine's vUDF does NOT ship these structs through Arrow (per-row
+    list-of-dict conversion measured ~7x slower than flat string arrays);
+    it ships ``span_texts`` + ``contentImageUrls`` and rebuilds the struct
+    array JVM-side (plans/wave.py spans_expr).  This dict form is the
+    oracle/spec representation.
+    """
     spans = [
         {"kind": "text", "text": t, "media_ref": None, "offset": i}
         for i, t in enumerate(texts)
@@ -113,6 +120,7 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "imageUrl": hero,
             "comments": comments if comments else [""],
             "contentImageUrls": images,
+            "span_texts": paras,
             "spans": make_spans(paras, images),
         }
 
@@ -129,6 +137,7 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "imageUrl": None,
             "comments": None,
             "contentImageUrls": images,
+            "span_texts": paras,
             "spans": make_spans(paras, images),
         }
 
@@ -146,6 +155,7 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "imageUrl": None,
             "comments": None,
             "contentImageUrls": images,
+            "span_texts": paras,
             "spans": make_spans(paras, images),
         }
 
@@ -170,6 +180,7 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "imageUrl": hero if hero else "Không có ảnh",
             "comments": comments,
             "contentImageUrls": images,
+            "span_texts": paras,
             "spans": make_spans(paras, images),
         }
 

@@ -29,13 +29,16 @@ LISTING_OUT_SCHEMA = (
     "is_terminal boolean, fetch_error boolean"
 )
 
+# span structs are NOT emitted from Python: per-row list-of-dict -> Arrow
+# struct conversion measured ~7x slower than flat string arrays.  The vUDF
+# ships span_texts + contentImageUrls; the struct array is rebuilt JVM-side
+# (plans/wave.py spans_expr) with transform()/concat() — pure codegen.
 ARTICLE_OUT_SCHEMA = (
     "wave int, host string, type_id int, page_no int, link_index int, "
     "canonical_url string, canonical_hash long, fetch_ts double, "
     "title string, description string, content string, pub_date_raw string, "
     "author string, imageUrl string, comments array<string>, "
-    "contentImageUrls array<string>, "
-    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "contentImageUrls array<string>, span_texts array<string>, "
     "parse_ok boolean"
 )
 
@@ -93,7 +96,7 @@ def fetch_parse_articles(cfg: hs.WebConfig, articles: DataFrame) -> DataFrame:
                 k: [None] * n
                 for k in (
                     "title description content pub_date_raw author imageUrl "
-                    "comments contentImageUrls spans".split()
+                    "comments contentImageUrls span_texts".split()
                 )
             }
             ok = [False] * n

@@ -57,11 +57,14 @@ def schedule_wave(
     counts.sort(key=lambda r: (r["host"], r["kind_rank"], r["type_id"]))
     offsets: dict[tuple, int] = {}
     running: dict[str, int] = {}
-    totals = {"listing": 0, "article": 0}
+    totals = {"listing": 0, "article": 0, "by_host": {}}
     for r in counts:
         offsets[(r["host"], r["kind_rank"], r["type_id"])] = running.get(r["host"], 0)
         running[r["host"]] = running.get(r["host"], 0) + r["n"]
-        totals["listing" if r["kind_rank"] == 0 else "article"] += r["n"]
+        kind = "listing" if r["kind_rank"] == 0 else "article"
+        totals[kind] += r["n"]
+        hk = totals["by_host"].setdefault(r["host"], {"listing": 0, "article": 0})
+        hk[kind] += r["n"]
 
     spark = frontier_wave.sparkSession
     offset_df = spark.createDataFrame(

@@ -296,15 +296,45 @@ class WaveCrawl:
             cat.write("bloom", wave, merged, parts)
 
         # ---------- articles: fetch/parse -> records + spans ----------
+        # single pass, NO cache: caching the parsed output would serialize
+        # the full text payload a second time just for lineage counting —
+        # lineage comes from the written snapshot's (column-pruned) read-back
+        # plus the politeness per-host totals instead.
         if has_articles:
             articles = scheduled.filter(F.col("kind") == "article")
-            parsed = P.fetch_parse_articles(web, articles).cache()
+            parsed = P.fetch_parse_articles(web, articles)
             ok = parsed.filter(F.col("parse_ok"))
+            # span structs rebuilt JVM-side from the flat arrays (see
+            # operators/parse.py ARTICLE_OUT_SCHEMA note)
+            n_texts = F.size("span_texts")
+            spans_expr = F.concat(
+                F.transform(
+                    "span_texts",
+                    lambda t, i: F.struct(
+                        F.lit("text").alias("kind"),
+                        t.alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        i.cast("int").alias("offset"),
+                    ),
+                ),
+                F.transform(
+                    "contentImageUrls",
+                    lambda u, i: F.struct(
+                        F.lit("image").alias("kind"),
+                        F.lit(None).cast("string").alias("text"),
+                        u.alias("media_ref"),
+                        (n_texts + i).cast("int").alias("offset"),
+                    ),
+                ),
+            )
+            ok = ok.withColumn("spans", spans_expr).drop("span_texts")
             rec = ok.join(self.slug_dim, ["host", "type_id"]).withColumn(
                 "dataSource",
                 F.concat_ws("/", F.slice(F.split("canonical_url", "/"), 1, 3)),
             )
             rec = clean_date_staged(rec, "pub_date_raw", "publishedDate")
+            # spans ride along in the articles snapshot — documents_df() is a
+            # projection, so the heavy text payload is written exactly once
             records = rec.withColumn("createdAt", F.lit(cfg.created_at)).select(
                 "dataSource",
                 F.col("canonical_url").alias("url"),
@@ -324,19 +354,31 @@ class WaveCrawl:
                 "page_no",
                 "link_index",
                 "fetch_ts",
+                "spans",
             )
-            cat.write("articles", wave, records, parts)
-            cat.write(
-                "documents",
-                wave,
-                ok.select(F.col("canonical_url").alias("doc_id"), "spans"),
-                parts,
-            )
+            # natural partitioning: a coalesce here would propagate UP the
+            # narrow chain and collapse the fetch+parse stage's parallelism
+            cat.write("articles", wave, records, None)
+            # lineage: parsed counts from the snapshot just written (reads
+            # only the host column), errors = scheduled - parsed per host
+            parsed_by_host = {
+                r["host"]: r["n"]
+                for r in cat.read_wave("articles", wave)
+                .groupBy("host")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            art_lineage_rows = [
+                (wave, h, hk["article"],
+                 parsed_by_host.get(h, 0),
+                 hk["article"] - parsed_by_host.get(h, 0))
+                for h, hk in totals["by_host"].items()
+                if hk["article"] > 0
+            ]
             lineage_parts.append(
-                parsed.groupBy("wave", "host").agg(
-                    F.count("*").alias("n_fetched"),
-                    F.sum(F.col("parse_ok").cast("long")).alias("n_parsed"),
-                    F.sum((~F.col("parse_ok")).cast("long")).alias("n_errors"),
+                spark.createDataFrame(
+                    art_lineage_rows,
+                    "wave int, host string, n_fetched long, n_parsed long, n_errors long",
                 )
             )
         # (no empty-side writes: readers use latest_wave_of/has, and an empty
@@ -380,8 +422,6 @@ class WaveCrawl:
         if has_listings:
             parsed_listings.unpersist()
             new_rows.unpersist()
-        if has_articles:
-            parsed.unpersist()
         return new_clock, n_next
 
     # ------------------------------------------------------------------
@@ -389,13 +429,21 @@ class WaveCrawl:
     # ------------------------------------------------------------------
 
     def articles_df(self) -> DataFrame:
-        """All article records with the materialized crawl_order rank."""
-        df = self.cat.read_upto("articles", self.cat.last_wave())
+        """All article records with the materialized crawl_order rank.
+
+        NOTE: the global-order window is a verification-time convenience
+        (single-task sort); at cluster scale derive crawl_order with
+        repartitionByRange + per-partition offsets (same key, no hot task).
+        """
+        df = self.cat.read_upto("articles", self.cat.last_wave()).drop("spans")
         w = Window.orderBy("wave", "host", "type_id", "page_no", "link_index")
         return df.withColumn("crawl_order", F.row_number().over(w) - 1)
 
     def documents_df(self) -> DataFrame:
-        return self.cat.read_upto("documents", self.cat.last_wave())
+        """Span documents (input_hint shape) — a pruned projection of the
+        articles snapshots (parquet column pruning reads only doc_id+spans)."""
+        df = self.cat.read_upto("articles", self.cat.last_wave())
+        return df.select(F.col("url").alias("doc_id"), "spans")
 
     def seen_df(self) -> DataFrame:
         return self.cat.read_upto("seen", self.cat.last_wave())

@@ -104,6 +104,12 @@ class WebConfig:
     dup_prev_page_mod: int = 3  # hosts h%3==0 repeat one link from prior page
     cross_type_dup_mod: int = 7  # 1/7 links point into type 0 (cross-type dup)
     relative_link_profiles: tuple[str, ...] = ("vnn",)  # emit relative hrefs
+    # page_weight scales article length + HTML boilerplate toward realistic
+    # news-page sizes (real articles are 100-400 KB with nav/script cruft;
+    # weight=1 keeps unit tests fast, bench uses heavier pages so the
+    # fetch+parse compute dominates per-wave fixed overhead as it does in
+    # production)
+    page_weight: int = 1
 
     def spec(self, host: str) -> HostSpec:
         return self._by_host[host]
@@ -112,7 +118,7 @@ class WebConfig:
         object.__setattr__(self, "_by_host", {h.host: h for h in self.hosts})
 
 
-def default_web(seed: int = 42, scale: float = 1.0) -> WebConfig:
+def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> WebConfig:
     """The standard 6-host synthetic web.  ``scale`` multiplies types/depth.
 
     vnx1 is the deliberately skewed giant (many categories, deep listings —
@@ -138,7 +144,26 @@ def default_web(seed: int = 42, scale: float = 1.0) -> WebConfig:
         HostSpec("one1.example.vn", "dtr", n_types=s(2), links_per_page=10,
                  max_depth=1, one_shot=True, crawl_delay_s=1.0),
     )
-    return WebConfig(seed=seed, hosts=hosts)
+    return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
+
+
+def bench_web(seed: int = 7, n_hosts: int = 4, types_per_host: int = 512,
+              depth: int = 16, links: int = 16, page_weight: int = 48) -> WebConfig:
+    """Throughput-bench web: wide taxonomy, one listing round, realistic
+    page weight (tens of KB of markup per article, like production news
+    pages) so fetch+parse compute dominates per-wave fixed overhead."""
+    specs = tuple(
+        HostSpec(
+            f"bench{i}.example.vn",
+            PROFILES[i % len(PROFILES)],
+            n_types=types_per_host,
+            links_per_page=links,
+            max_depth=depth,
+            crawl_delay_s=0.5,
+        )
+        for i in range(n_hosts)
+    )
+    return WebConfig(seed=seed, hosts=specs, page_weight=page_weight)
 
 
 def skewed_web(seed: int = 7, giant_types: int = 40, giant_depth: int = 12) -> WebConfig:
@@ -274,7 +299,7 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
     has_title = h % cfg.null_title_mod != 0
     title = f"Tiêu đề {_sentence(cfg, f'title|{cu}', 5)} {h % 1000}" if has_title else None
     desc = f"Mô tả {_sentence(cfg, f'desc|{cu}', 10)}"
-    n_paras = 2 + h % 5
+    n_paras = cfg.page_weight * (2 + h % 5)
     paras = [
         f"Đoạn {i}: {_sentence(cfg, f'para|{cu}|{i}', 8 + (h >> i) % 10)}."
         for i in range(n_paras)
@@ -333,6 +358,11 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     parts = ["<html><head>"]
     parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
     parts.append("</head><body>")
+    # boilerplate nav/cruft scaled by page_weight — real news pages bury the
+    # article in markup the parser must scan past
+    for b in range(cfg.page_weight - 1):
+        filler = _sentence(cfg, f"boiler|{url}|{b}", 20)
+        parts.append(f'<div class="nav-item"><span>{filler}</span><a href="#m{b}">menu</a></div>')
     if f["title"] is not None:
         parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
     parts.append(f'<span class="date">{f["date_raw"]}</span>')
