@@ -57,22 +57,32 @@ def make_spark(master: str | None = None):
     return get_spark(app_name="bench", master=master)
 
 
-def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16) -> dict:
+def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
+              web_kind: str = "default", types: int = 256) -> dict:
     """Deterministic synthetic crawl; returns {n_urls, wall_s, urls_per_sec}.
 
     n_urls counts fetched+parsed pages (listings + articles) — the
     BASELINE.json metric is 'URLs fetched+parsed per second (sustained)'.
+    web_kind 'bench' uses realistic-weight pages (hostsim.bench_web) so the
+    run is compute-bound like a production crawl; 'default' is the light
+    correctness web.
     """
     from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
     from crawler_news_spark.sources import hostsim as hs
 
-    web = hs.default_web(scale=scale)
+    if web_kind == "bench":
+        web = hs.bench_web(types_per_host=types)
+        batch_pages = 17
+    else:
+        web = hs.default_web(scale=scale)
     root = tempfile.mkdtemp(prefix="bench_cat_")
     wc = WaveCrawl(
         spark, web, root,
         CrawlRunConfig(batch_pages=batch_pages, bloom_buckets=8,
-                       bloom_expected_per_bucket=65536),
+                       bloom_expected_per_bucket=262144),
     )
+    # warm up the session (JVM + python workers) so timing is steady-state
+    spark.range(1000).selectExpr("sum(id)").collect()
     t0 = time.time()
     wc.run()
     wall = time.time() - t0
@@ -104,11 +114,14 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--crawl-scale", type=float, default=4.0)
+    ap.add_argument("--web", default="default", choices=["default", "bench"])
+    ap.add_argument("--types", type=int, default=256)
     args = ap.parse_args()
 
     if args.crawl_only:
         spark = make_spark()
-        res = run_crawl(spark, scale=args.crawl_scale)
+        res = run_crawl(spark, scale=args.crawl_scale, web_kind=args.web,
+                        types=args.types)
         print(json.dumps(res))
         spark.stop()
         return
@@ -119,7 +132,8 @@ def main() -> None:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                        SPARK_MASTER=f"local[{cores}]")
             out = subprocess.run(
-                [sys.executable, __file__, "--crawl-only",
+                [sys.executable, __file__, "--crawl-only", "--web", "bench",
+                 "--types", str(args.types),
                  "--crawl-scale", str(args.crawl_scale)],
                 env=env, capture_output=True, text=True, check=True,
             )

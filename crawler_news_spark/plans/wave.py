@@ -46,6 +46,10 @@ class CrawlRunConfig:
     use_bloom: bool = True
     created_at: str = "2026-01-01T00:00:00+00:00"  # deterministic createdAt stamp
     write_parts: int | None = 8  # coalesce small wave deltas; None at cluster scale
+    # politeness/fetch budget: at most K article fetches per host per wave,
+    # highest priority (depth+recency score) first; the rest defer to the
+    # next wave.  None = unbounded (reference behavior).
+    max_articles_per_host_wave: int | None = None
 
 
 class WaveCrawl:
@@ -157,6 +161,29 @@ class WaveCrawl:
         t0 = time.time()
         parts = cfg.write_parts
 
+        # ---------- priority budget: top-K articles per host this wave ------
+        # (the priority frontier actually gates scheduling; overflow defers)
+        deferred = None
+        n_deferred = 0
+        if cfg.max_articles_per_host_wave is not None:
+            K = cfg.max_articles_per_host_wave
+            arts = frontier.filter(F.col("kind") == "article")
+            w_pr = Window.partitionBy("host").orderBy(
+                F.desc("priority"), "type_id", "page_no", "link_index"
+            )
+            ranked = arts.withColumn("_rk", F.row_number().over(w_pr))
+            take = ranked.filter(F.col("_rk") <= K).drop("_rk")
+            deferred = (
+                ranked.filter(F.col("_rk") > K)
+                .drop("_rk")
+                .withColumn("wave", F.lit(wave + 1))
+            ).cache()
+            n_deferred = deferred.count()
+            if n_deferred == 0:
+                deferred.unpersist()
+                deferred = None
+            frontier = frontier.filter(F.col("kind") == "listing").unionByName(take)
+
         scheduled, new_clock, totals = pol.schedule_wave(frontier, self.delays, clock_base)
         has_listings = totals["listing"] > 0
         has_articles = totals["article"] > 0
@@ -170,9 +197,15 @@ class WaveCrawl:
         next_listing_rows: list[tuple] = []
         lineage_parts = []
 
+        # AQE coalesces the politeness shuffle by its (tiny, skinny-row) size,
+        # which would funnel the fetch+parse vUDF into 1-2 tasks — the rows
+        # EXPAND ~100x in the UDF, so parallelism must be pinned explicitly
+        # (measured 204s vs 23s on a 137k-article wave).
+        n_par = spark.sparkContext.defaultParallelism
+
         # ---------- listings: fetch/parse -> candidates -> seen filter ----------
         if has_listings:
-            listings = scheduled.filter(F.col("kind") == "listing")
+            listings = scheduled.filter(F.col("kind") == "listing").repartition(n_par)
             parsed_listings = P.fetch_parse_listings(web, listings).cache()
 
             links = P.explode_links(parsed_listings)
@@ -274,7 +307,7 @@ class WaveCrawl:
         else:
             next_articles = None
 
-        n_next = n_new + len(next_listing_rows)
+        n_next = n_new + len(next_listing_rows) + n_deferred
         if n_next > 0:
             next_listings = spark.createDataFrame(
                 next_listing_rows, frontier.schema
@@ -284,7 +317,13 @@ class WaveCrawl:
                 if next_articles is not None and n_new > 0
                 else next_listings
             )
+            if deferred is not None:
+                next_frontier = next_frontier.unionByName(
+                    deferred.select(*[f.name for f in frontier.schema.fields])
+                )
             cat.write("frontier", wave + 1, next_frontier, parts)
+        if deferred is not None:
+            deferred.unpersist()
 
         # ---------- bloom delta merge (skipped when nothing new) ----------
         if cfg.use_bloom and n_new > 0:
@@ -301,7 +340,7 @@ class WaveCrawl:
         # lineage comes from the written snapshot's (column-pruned) read-back
         # plus the politeness per-host totals instead.
         if has_articles:
-            articles = scheduled.filter(F.col("kind") == "article")
+            articles = scheduled.filter(F.col("kind") == "article").repartition(n_par)
             parsed = P.fetch_parse_articles(web, articles)
             ok = parsed.filter(F.col("parse_ok"))
             # span structs rebuilt JVM-side from the flat arrays (see
