@@ -157,7 +157,7 @@ def main() -> None:
     spark = make_spark()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     t_all = time.time()
-    crawl = run_crawl(spark, scale=args.crawl_scale)
+    crawl = run_crawl(spark, web_kind="bench", types=64)
     print(f"  crawl: {crawl}", file=sys.stderr)
     qtimes = run_queries(spark, SF_DIR)
     total = round(time.time() - t_all, 3)

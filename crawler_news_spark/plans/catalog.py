@@ -105,14 +105,16 @@ class CrawlCatalog:
         """Drop wave dirs past the manifest's last completed wave (crash debris).
 
         Committing wave ``w`` covers tables written at ``wave=w`` plus the
-        *next* frontier at ``wave=w+1`` — so the frontier keeps one extra wave.
+        *next* frontier at ``wave=w+1``; injected requests (inject_requests)
+        may also pre-write seen/bloom deltas at ``w+1`` — those three tables
+        keep one extra wave.
         """
         last = self.last_wave()
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            keep = last + 1 if table == "frontier" else last
+            keep = last + 1 if table in ("frontier", "seen", "bloom") else last
             for sub in os.listdir(tdir):
                 if sub.startswith("wave-"):
                     w = int(sub.split("-")[1])

@@ -190,7 +190,8 @@ class WaveCrawl:
         if has_listings or has_articles:
             scheduled = scheduled.cache()
 
-        bw = cat.latest_wave_of("bloom", wave - 1)
+        # include wave-w deltas pre-written by inject_requests (if any)
+        bw = cat.latest_wave_of("bloom", wave)
         bloom_tbl = cat.read_wave("bloom", bw) if bw is not None else None
         n_bloom_fp = 0
         n_new = 0
@@ -235,8 +236,9 @@ class WaveCrawl:
                 )
             )
 
-            # bloom prefilter + exact anti-join (bloom advisory, join exact)
-            seen_tbl = cat.read_upto("seen", wave - 1)
+            # bloom prefilter + exact anti-join (bloom advisory, join exact);
+            # upto ``wave`` so injected same-wave seen deltas participate
+            seen_tbl = cat.read_upto("seen", wave)
             if cfg.use_bloom and seen_tbl is not None and bloom_tbl is not None:
                 new_rows, recovered = S.seen_anti_join(
                     candidates, seen_tbl, self.bloom_state, bloom_tbl
@@ -285,6 +287,9 @@ class WaveCrawl:
                 seen_delta = new_rows.select(
                     "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
                 )
+                if cat.has("seen", wave):  # injected delta already in the slot
+                    prior = cat.read_wave("seen", wave).localCheckpoint()
+                    seen_delta = prior.unionByName(seen_delta)
                 cat.write("seen", wave, seen_delta, parts)
 
             # next-wave article rows; priority = depth + recency proxy
@@ -462,6 +467,113 @@ class WaveCrawl:
             parsed_listings.unpersist()
             new_rows.unpersist()
         return new_clock, n_next
+
+    # ------------------------------------------------------------------
+    # Re-crawl / on-demand surface (reference: daily cron re-run
+    # cronjobs/cron_job.py:5-21; POST /crawl app/crawl_request.py:21-69)
+    # ------------------------------------------------------------------
+
+    def evict_seen(self, urls: list[str]) -> int:
+        """Evict URLs from the seen set so a later run re-crawls them.
+
+        A bloom can't delete, so eviction is a seen-set compaction commit:
+        all seen snapshots are consolidated minus the evicted rows, and the
+        bloom is rebuilt from the survivors (the CuckooFilter in
+        operators/seen.py is the per-bucket primitive for doing this
+        incrementally at scale; at sandbox scale the rebuild is cheap).
+        Returns the number of evicted rows.
+        """
+        import shutil
+
+        from ..functions.urlnorm import canonicalize_py
+
+        cat = self.cat
+        last = cat.last_wave()
+        seen = cat.read_upto("seen", last)
+        if seen is None:
+            return 0
+        ev = self.spark.createDataFrame(
+            [(canonicalize_py(u),) for u in urls], "canonical_url string"
+        )
+        kept = seen.join(F.broadcast(ev), "canonical_url", "left_anti").cache()
+        n_before = seen.count()
+        n_kept = kept.count()
+        tmpdir = cat._dir("seen") + ".compact"
+        kept.coalesce(self.cfg.write_parts or 8).write.mode("overwrite").parquet(tmpdir)
+        shutil.rmtree(cat._dir("seen"))
+        import os as _os
+
+        _os.makedirs(cat._dir("seen"))
+        _os.rename(tmpdir, cat._dir("seen", last))
+        kept.unpersist()
+        # rebuild bloom from the compacted seen
+        if self.cfg.use_bloom:
+            delta = self.bloom_state.build_delta(cat.read_wave("seen", last))
+            merged = self.bloom_state.merge(self.bloom_state.empty_df(self.spark), delta)
+            cat.write("bloom", last, merged, self.cfg.write_parts)
+        return n_before - n_kept
+
+    def inject_requests(self, rows: DataFrame, skip_seen: bool = True) -> int:
+        """Append on-demand crawl requests to the next frontier wave.
+
+        ``rows`` is frontier-shaped request output
+        (streaming/requests.requests_to_frontier_rows: host, kind, type_id,
+        page_no, link_index, url).  Article rows are canonicalized and — by
+        default — deduped against the seen set.  Call ``run(resume=True)``
+        afterwards to process.  Returns the number of injected rows.
+        """
+        cat = self.cat
+        wave = cat.last_wave() + 1
+        f = (
+            rows.withColumn("canonical_url", canonicalize_col(F.col("url")))
+            .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
+            .withColumn("wave", F.lit(wave))
+            .withColumn("depth", F.lit(wave))
+            .withColumn("priority", F.lit(1.0))
+        )
+        arts = f.filter(F.col("kind") == "article")
+        if skip_seen:
+            seen = cat.read_upto("seen", wave - 1)
+            if seen is not None:
+                arts = arts.join(
+                    seen.select("canonical_hash").distinct(), "canonical_hash", "left_anti"
+                )
+        f = f.filter(F.col("kind") == "listing").unionByName(arts)
+        cols = [fld.name for fld in SCH.FRONTIER.fields]
+        f = f.select(*cols).cache()
+        n = f.count()
+        if n > 0:
+            # localCheckpoint() before overwriting a dir that feeds the plan
+            if cat.has("frontier", wave):
+                existing = cat.read_wave("frontier", wave).localCheckpoint()
+                out = existing.select(*cols).unionByName(f)
+            else:
+                out = f
+            cat.write("frontier", wave, out, self.cfg.write_parts)
+            # injected article urls enter seen (and the bloom — a seen entry
+            # missing from the bloom would be a bloom false negative, letting
+            # a later duplicate skip the exact anti-join) immediately
+            new_seen = f.filter(F.col("kind") == "article").select(
+                "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
+            ).localCheckpoint()
+            if not new_seen.isEmpty():
+                delta = new_seen
+                if cat.has("seen", wave):
+                    delta = cat.read_wave("seen", wave).localCheckpoint().unionByName(delta)
+                cat.write("seen", wave, delta, self.cfg.write_parts)
+                if self.cfg.use_bloom:
+                    bw = cat.latest_wave_of("bloom", wave)
+                    base = (
+                        cat.read_wave("bloom", bw).localCheckpoint()
+                        if bw is not None
+                        else self.bloom_state.empty_df(self.spark)
+                    )
+                    merged = self.bloom_state.merge(
+                        base, self.bloom_state.build_delta(new_seen)
+                    )
+                    cat.write("bloom", wave, merged, self.cfg.write_parts)
+        f.unpersist()
+        return n
 
     # ------------------------------------------------------------------
     # Final outputs
