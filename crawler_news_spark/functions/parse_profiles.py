@@ -184,6 +184,32 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "spans": make_spans(paras, images),
         }
 
+    if profile == "qdn":
+        # quandoinhandan family: empty-para filter + "\n" join
+        # (quandoinhandan.py:125); author from p>strong heuristic
+        # (beautifulSoup_utils.py:12-51 via quandoinhandan.py:140) — the
+        # author strong-paragraph REMAINS part of the content
+        from .author_heuristic import extract_author_from_strong_texts
+
+        strip_tags = lambda s: re.sub(r"<[^>]+>", "", s).strip()
+        paras = [strip_tags(v) for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        strongs = re.findall(r'<p class="Normal"><strong>(.*?)</strong></p>', html)
+        author = extract_author_from_strong_texts(strongs)
+        images = [v for k, v in walk if k == "image" and "http" in v]
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else None,
+            "content": "\n".join(paras),
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author,
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "span_texts": paras,
+            "spans": make_spans(paras, images),
+        }
+
     raise ValueError(f"unknown profile {profile}")
 
 

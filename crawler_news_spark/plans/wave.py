@@ -127,8 +127,11 @@ class WaveCrawl:
             clock_base = dict(m["waves"][str(cat.last_wave())]["clock_base"])
         else:
             wave = 0
-            frontier = self.seed_frontier()
-            cat.write("frontier", 0, frontier)
+            # a pre-written wave-0 frontier (inject_requests / crawl_url_list
+            # on a fresh catalog — the reference's task:"url" mode) wins over
+            # the full type-taxonomy seed
+            if not cat.has("frontier", 0):
+                cat.write("frontier", 0, self.seed_frontier())
             frontier = cat.read_wave("frontier", 0)
             clock_base = {}
 
@@ -512,6 +515,23 @@ class WaveCrawl:
             merged = self.bloom_state.merge(self.bloom_state.empty_df(self.spark), delta)
             cat.write("bloom", last, merged, self.cfg.write_parts)
         return n_before - n_kept
+
+    def crawl_url_list(self, urls: list[str], skip_seen: bool = True) -> int:
+        """task:"url" mode (base_crawler.py:30-37): crawl a raw URL list.
+
+        Injects the seeds as article requests in list order and resumes; the
+        per-URL link_index preserves the file line order in the crawl key.
+        """
+        from ..sources.seeds import seeds_to_requests
+
+        seeds = self.spark.createDataFrame(
+            list(enumerate(urls)), "seed_order int, url string"
+        )
+        n = self.inject_requests(seeds_to_requests(seeds), skip_seen=skip_seen)
+        if n > 0:
+            self.run(resume=self.cat.last_wave() >= 0)  # fresh catalog: run()
+            # picks up the injected wave-0 frontier instead of seeding
+        return n
 
     def inject_requests(self, rows: DataFrame, skip_seen: bool = True) -> int:
         """Append on-demand crawl requests to the next frontier wave.

@@ -153,6 +153,40 @@ SQL_DATASOURCE = """
 """
 
 
+def q_image_path(spark, sf_dir):
+    """X8/S7 deterministic image storage path + R3 category sanitize."""
+    from .functions.paths import image_local_path
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://img.ex/"), F.col("source"), F.lit("/pic-"),
+        F.col("doc_id").cast("string"), F.lit(".jpg?w=640"),
+    )
+    cat = F.concat(F.col("lang"), F.lit("/sub"))
+    d = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    m = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    date = F.concat(d, F.lit("/"), m, F.lit("/2024, 06:49 (GMT+7)"))
+    return docs.select(
+        "doc_id",
+        image_local_path(
+            F.lit("/mnt/data/news"), F.col("source"), cat, date, url
+        ).alias("local_path"),
+    )
+
+
+SQL_IMAGE_PATH = r"""
+    SELECT doc_id,
+           concat_ws('/', '/mnt/data/news', source,
+                     regexp_replace(concat(lang, '/sub'), '/', '-', 'g'),
+                     concat_ws('-',
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                       lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                       '2024'),
+                     concat('pic-', CAST(doc_id AS VARCHAR), '.jpg')) AS local_path
+    FROM documents
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by price (window row_number pattern)."""
     o = load(spark, sf_dir, "orders")
@@ -504,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_filter": q_category_filter,
         "md5_prefix": q_md5_prefix,
         "datasource_extract": q_datasource_extract,
+        "image_path": q_image_path,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "sessionize": q_sessionize,
@@ -535,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "category_filter": SQL_CATEGORY_FILTER,
         "md5_prefix": SQL_MD5_PREFIX,
         "datasource_extract": SQL_DATASOURCE,
+        "image_path": SQL_IMAGE_PATH,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "pricing_summary": SQL_PRICING,
         "sessionize": SQL_SESSIONIZE,

@@ -42,16 +42,17 @@ def stable_hash(s: str, seed: int = 0) -> int:
 # Web configuration
 # ---------------------------------------------------------------------------
 
-PROFILES = ("vnx", "dtr", "btt", "vnn")
+PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
     "dtr": "trang-htm",  # https://{h}/{slug}/trang-{n}.htm   dantri.py:303
     "btt": "brsr-offset",  # https://{h}/{slug}?BRSR={20(n-1)} congthuong.py:198
     "vnn": "page0",  # https://{h}/{slug}-page{n-1}           vietnamnet.py:220
+    "qdn": "aspx-page",  # https://{h}/{slug}.aspx?Page={n}   dangcongsan.py:188
 }
 
-CONTENT_JOIN = {"vnx": ",", "dtr": "\n", "btt": " ", "vnn": ","}  # §2.3 P3
+CONTENT_JOIN = {"vnx": ",", "dtr": "\n", "btt": " ", "vnn": ",", "qdn": "\n"}  # §2.3 P3
 
 _WORDS = (
     "tin tức thời sự kinh doanh thế giới giáo dục thể thao công nghệ đời sống "
@@ -143,6 +144,8 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  max_depth=s(3), crawl_delay_s=1.5),
         HostSpec("one1.example.vn", "dtr", n_types=s(2), links_per_page=10,
                  max_depth=1, one_shot=True, crawl_delay_s=1.0),
+        HostSpec("qdn1.example.vn", "qdn", n_types=s(3), links_per_page=5,
+                 max_depth=s(4), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
 
@@ -203,6 +206,8 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         return f"https://{host}/{slug}?BRSR={20 * (page - 1)}"
     if kind == "page0":
         return f"https://{host}/{slug}-page{page - 1}"
+    if kind == "aspx-page":
+        return f"https://{host}/{slug}.aspx?Page={page}"
     raise ValueError(kind)
 
 
@@ -380,6 +385,8 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
                 parts.append(f'<img class="lazy" data-src="{src}"/>')
             elif p == "btt":
                 parts.append(f'<img src="{src}"/>')
+            elif p == "qdn":
+                parts.append(f'<img src="{src}"/>')
             else:  # vnn: half the images rendered relative, parser absolutizes
                 h_img = stable_hash(f"rel|{src}", cfg.seed)
                 if h_img % 2 == 0 and src.startswith(f"https://{host}/"):
@@ -389,6 +396,15 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     if p == "vnx":
         # author travels as the last content paragraph (vnexpress.py:190-193)
         parts.append(f'<p class="Normal">{f["author"]}</p>')
+    if p == "qdn":
+        # author travels as p>strong (quandoinhandan.py:140 + heuristic
+        # beautifulSoup_utils.py:12-51); decoys exercise the filters
+        h_a = stable_hash(f"qdnauth|{f['canonical_url']}", cfg.seed)
+        if h_a % 3 == 0:
+            parts.append('<p class="Normal"><strong>GIÁ VÀNG SJC</strong></p>')
+        if h_a % 4 == 0:
+            parts.append('<p class="Normal"><strong>TIN, ẢNH: Phóng viên thường trú</strong></p>')
+        parts.append(f'<p class="Normal"><strong>{f["author"]}</strong></p>')
     parts.append("</article>")
     if spec.profile in ("vnx", "vnn") and f["comments"]:
         cmts = "".join(f'<div class="comment_content">{c}</div>' for c in f["comments"])
@@ -439,6 +455,9 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
     if kind == "page0":
         m = re.search(r"-(\d+)-page(\d+)$", path)
         return int(m.group(1)), int(m.group(2)) + 1
+    if kind == "aspx-page":
+        m = re.search(r"-(\d+)\.aspx\?Page=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
     raise ValueError(url)
 
 

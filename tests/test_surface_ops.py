@@ -1,0 +1,144 @@
+"""Coverage for the surface operators: seeds (task:"url"), author heuristic,
+image-path derivation, UI gate, JSON export, qdn profile."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawler_news_spark.functions.author_heuristic import (
+    clean_prefix,
+    extract_author_from_strong_texts,
+    is_author_strong_tag,
+)
+from crawler_news_spark.functions.paths import image_local_path
+from crawler_news_spark.operators.ui_gate import ui_changes
+from crawler_news_spark.plans.sinks import export_json
+from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+from crawler_news_spark.sources import hostsim as hs
+from crawler_news_spark.sources.seeds import read_seed_file, seeds_to_requests
+
+
+# ---- X3/X4/X5 author heuristic (beautifulSoup_utils.py golden) -------------
+
+def test_clean_prefix():
+    assert clean_prefix("TIN, ẢNH: Nguyễn Văn An") == "Nguyễn Văn An"
+    assert clean_prefix("ẢNH: X Y Z") == "X Y Z"
+    assert clean_prefix("Chú thích: abc") == "Chú thích: abc"  # not a listed prefix
+
+
+@pytest.mark.parametrize("text,want", [
+    ("PV", False), ("", False), ("–", False),
+    ("GIÁ VÀNG HÔM NAY", False),  # keyword exclusion
+    ("HOÀNG HÀ", True),  # all-caps <= 6 words
+    ("Nguyễn Văn An", True),  # 3-10 words mixed case
+    ("hai từ", False),  # < 3 words, not all-caps
+    ("TIN: LÊ VĂN B", True),  # prefix stripped then all-caps
+])
+def test_is_author_strong_tag(text, want):
+    assert is_author_strong_tag(text) is want
+
+
+def test_last_match_wins():
+    got = extract_author_from_strong_texts(
+        ["GIÁ VÀNG SJC", "Phóng viên thường trú", "Nguyễn Văn An"]
+    )
+    assert got == "Nguyễn Văn An"
+    assert extract_author_from_strong_texts(["PV", ":"]) is None
+
+
+# ---- qdn profile end-to-end (heuristic inside the parse) --------------------
+
+def test_qdn_profile_parse():
+    from crawler_news_spark.functions.parse_profiles import parse_article
+
+    html = (
+        '<html><body><h1 class="title-detail">T</h1>'
+        '<span class="date">04/10/2024, 16:40 (GMT+7)</span>'
+        '<p class="description">D</p>'
+        '<article class="content-body">'
+        '<p class="Normal">đoạn một</p><p class="Normal">  </p>'
+        '<img src="https://i/1.jpg"/>'
+        '<p class="Normal"><strong>GIÁ VÀNG SJC</strong></p>'
+        '<p class="Normal"><strong>Nguyễn Văn An</strong></p>'
+        "</article></body></html>"
+    )
+    r = parse_article(html, "qdn", "https://q.vn")
+    assert r["author"] == "Nguyễn Văn An"
+    # strong paragraphs stay in content; empty para filtered; "\n" join
+    assert r["content"] == "đoạn một\nGIÁ VÀNG SJC\nNguyễn Văn An"
+    assert r["contentImageUrls"] == ["https://i/1.jpg"]
+
+
+# ---- X8/R3 image path --------------------------------------------------------
+
+def test_image_local_path(spark):
+    df = spark.createDataFrame(
+        [("vnexpress", "thoi-su/chinh-tri", "08/10/2023, 06:49 (GMT+7)",
+          "https://img.x/a/b/photo-1.jpg?w=680&h=0")],
+        "site string, category string, pdate string, url string",
+    )
+    got = df.select(
+        image_local_path(F.lit("/mnt/data/news"), F.col("site"),
+                         F.col("category"), F.col("pdate"), F.col("url")).alias("p")
+    ).collect()[0]["p"]
+    assert got == "/mnt/data/news/vnexpress/thoi-su-chinh-tri/08-10-2023/photo-1.jpg"
+
+
+# ---- V3 UI gate ---------------------------------------------------------------
+
+def test_ui_changes(spark):
+    pages = spark.createDataFrame(
+        [("u1", "<html>A" + "x" * 1200), ("u2", "<html>B"), ("u3", "<html>C")],
+        "url string, html string",
+    )
+    import hashlib
+
+    h = lambda s: hashlib.md5(s[:1000].encode()).hexdigest()
+    stored = spark.createDataFrame(
+        [("u1", h("<html>A" + "x" * 1200)), ("u2", h("<html>OLD"))],
+        "url string, ui_hash string",
+    )
+    got = {r["url"]: r["changed"] for r in ui_changes(pages, stored).collect()}
+    assert got == {"u1": False, "u2": True, "u3": False}
+
+
+# ---- S1 seeds + task:"url" mode ----------------------------------------------
+
+def test_crawl_url_list(spark, tmp_path):
+    web = hs.default_web(scale=0.5)
+    seedfile = tmp_path / "urls.txt"
+    urls = [
+        hs.article_url(web, "vnx1.example.vn", 0, 3),
+        hs.article_url(web, "dtr1.example.vn", 0, 1),
+    ]
+    seedfile.write_text("﻿" + "\n".join(urls) + "\n", encoding="utf-8")
+
+    seeds = read_seed_file(spark, str(seedfile))
+    assert [r["url"] for r in seeds.orderBy("seed_order").collect()] == urls
+
+    wc = WaveCrawl(spark, web, str(tmp_path / "cat"),
+                   CrawlRunConfig(batch_pages=4, bloom_buckets=4))
+    n = wc.crawl_url_list(urls)
+    assert n == 2
+    arts = wc.articles_df().orderBy("crawl_order").collect()
+    assert sorted(r["url"] for r in arts) == sorted(urls)
+    # seed line order preserved in the crawl key (host sorts first here,
+    # then link_index = seed_order within equal keys)
+    assert all(r["wave"] == 0 for r in arts)
+
+
+# ---- S5 JSON export -------------------------------------------------------------
+
+def test_export_json(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = str(tmp_path / "json_out")
+    export_json(df, out, parts=1)
+    rows = []
+    for fn in os.listdir(out):
+        if fn.endswith(".json"):
+            with open(os.path.join(out, fn)) as f:
+                rows += [json.loads(l) for l in f if l.strip()]
+    assert sorted(r["id"] for r in rows) == [1, 2]
