@@ -179,6 +179,110 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(sample: np.ndarray, n_clusters: int, seed: int = 42,
+                     n_iter: int = 10) -> np.ndarray:
+    """Plain deterministic Lloyd's k-means on a driver-side sample (numpy).
+
+    The IVF coarse quantizer: at 100 TB the sample is a tiny fraction pulled
+    with df.sample(); centroids (n_clusters x dim floats) broadcast cheaply.
+    """
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    cent = sample[idx].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d = sample @ cent.T  # cosine-ish assignment on normalized data
+        assign = d.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def add_ivf_cluster(emb: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (one Arrow matmul pass)."""
+    cent = centroids
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _normalize_rows(
+                np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            )
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, {vec_col} array<float>, cluster int"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer, probe the n_probe nearest cells.
+
+    Scale path: the corpus is partitioned by cluster; a query scores only
+    ~n_probe/n_clusters of the data.  Recall vs brute force pytest-verified.
+    """
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64)
+         for r in emb.limit(2048).collect()]
+    )
+    cent = kmeans_centroids(_normalize_rows(sample), n_clusters, seed)
+    clustered = add_ivf_cluster(emb, cent, id_col, vec_col)
+
+    q_rows = clustered.filter(F.col(id_col) < n_queries).collect()
+    probes = []
+    for r in q_rows:
+        qv = _normalize_rows(np.asarray(r[vec_col], dtype=np.float64)[None, :])[0]
+        order = np.argsort(-(cent @ qv))[:n_probe]
+        for c in order:
+            probes.append((int(r[id_col]), [float(x) for x in r[vec_col]], int(c)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, f"query_id long, qe array<float>, cluster int"
+    )
+    c = clustered.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim_u",
+            F.floor(
+                cosine_sim_col(_as_double(F.col("qe")), F.col("ce")) * 1e6 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim_u")
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold_u: int = 990_000,

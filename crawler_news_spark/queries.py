@@ -465,6 +465,20 @@ def q_lsh_topk(spark, sf_dir):
     return SIM.lsh_bucket_topk(emb, n_queries=5, k=10)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer) — recall pytest-verified."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_queries=5, k=10, n_clusters=16, n_probe=6)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing rolling-hash fingerprint near-dup candidates (SIGMOD'03)."""
+    from .operators.winnow import winnow_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, min_shared=20)
+
+
 def q_embedding_near_dups_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups(emb, threshold_u=900_000)
@@ -553,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "winnow_pairs": q_winnow_pairs,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,

@@ -86,6 +86,36 @@ def test_lsh_topk_recall(emb):
     assert len(ex & ap) / len(ex) >= 0.6
 
 
+def test_ivf_topk_recall(emb):
+    """IVF ANN recall >= 0.6 vs brute force on this fixture."""
+    exact = SIM.cosine_topk(emb, n_queries=3, k=5)
+    approx = SIM.ivf_topk(emb, n_queries=3, k=5, n_clusters=4, n_probe=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6
+
+
+def test_winnow_python_spec_and_pairs(spark, planted_docs):
+    from crawler_news_spark.operators import winnow as WN
+
+    # spec sanity: same text -> same fingerprints; shared-substring guarantee
+    fp_a = WN.winnow_py("the quick brown fox jumps over the lazy dog")
+    fp_b = WN.winnow_py("the quick brown fox jumps over the lazy dog")
+    assert fp_a == fp_b and len(fp_a) > 0
+    # vUDF matches the python spec
+    got = {r["doc_id"]: list(r["fingerprints"]) for r in
+           WN.winnow_fingerprints(planted_docs).collect()}
+    for r in planted_docs.collect():
+        want = [x - (1 << 64) if x >= (1 << 63) else x
+                for x in WN.winnow_py(r["text"])]
+        assert got[r["doc_id"]] == want
+    # planted exact/near dups share many fingerprints; unrelated docs don't
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in
+             WN.winnow_overlap_pairs(planted_docs, min_shared=3).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
 def test_embedding_near_dups_lsh_finds_planted(emb):
     pairs = {(r["id_a"], r["id_b"]) for r in
              SIM.embedding_near_dups(emb, threshold_u=990_000, n_planes=4, dim=16).collect()}
