@@ -279,6 +279,75 @@ SQL_SESSIONIZE = """
 """
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour event windows (batch twin of the streaming agg)."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
+        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
+    )
+
+
+SQL_WINDOWED = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus) — grouping-set aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("price_c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "price_c",
+        )
+    )
+
+
+SQL_ROLLUP = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot-style: one column per event_type (CASE-aggregation form so the
+    oracle is plain ANSI SQL on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+SQL_PIVOT = """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+    FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -556,6 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_events": q_pivot_events,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -590,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "pricing_summary": SQL_PRICING,
         "sessionize": SQL_SESSIONIZE,
+        "windowed_counts": SQL_WINDOWED,
+        "rollup_revenue": SQL_ROLLUP,
+        "pivot_events": SQL_PIVOT,
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
