@@ -193,7 +193,7 @@ def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id"
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold_u: int = 500_000,
-                      min_sig_matches: int = 2) -> DataFrame:
+                      min_sig_matches: int = 3) -> DataFrame:
     """Full pipeline: shingles -> signatures -> LSH pairs -> estimate prune
     -> exact Jaccard filter."""
     sh = shingles(docs, text_col, id_col).cache()

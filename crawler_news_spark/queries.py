@@ -466,7 +466,7 @@ SQL_MINHASH_NEAR_DUPS = (
            + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
-           + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 2
+           + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
     )
     , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
     , inter AS (
