@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from crawler_news_spark.streaming.requests import (
     route_requests,
     run_intake_stream,
@@ -47,6 +49,40 @@ def test_expand_to_categories(spark, categories):
         route_requests(validate_requests(raw)), categories
     ).collect()
     assert {(r["kind"], r["type_id"]) for r in rows} == {("listing", 0), ("listing", 1)}
+
+
+def test_stream_to_crawl_end_to_end(spark, tmp_path):
+    """V1/V2 wired to the engine: file-stream requests -> frontier injection
+    -> resumed crawl produces the requested article."""
+    from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web(scale=0.5)
+    wc = WaveCrawl(spark, web, str(tmp_path / "cat"),
+                   CrawlRunConfig(batch_pages=4, bloom_buckets=4))
+    wc.run()
+
+    target = hs.article_url(web, "dtr1.example.vn", 0, 9_999)  # undiscovered
+    req_dir = str(tmp_path / "req")
+    os.makedirs(req_dir)
+    with open(os.path.join(req_dir, "r.json"), "w") as f:
+        f.write(json.dumps({"source": "NEWS", "action": "GENERAL", "url": target}) + "\n")
+
+    cats = spark.createDataFrame(
+        [("dtr1.example.vn", 0, "x")], "host string, type_id int, slug string"
+    )
+    injected = []
+
+    def sink(rows, epoch_id):
+        injected.append(wc.inject_requests(rows))
+
+    q = run_intake_stream(spark, req_dir, cats, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert sum(injected) == 1
+    wc.run(resume=True)
+    got = wc.articles_df().filter(F.col("url") == target).count()
+    assert got == 1
 
 
 def test_file_stream_intake(spark, categories, tmp_path):
