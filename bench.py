@@ -41,10 +41,14 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
     "embedding_near_dups_lsh",
     "media_metadata",
     "pricing_summary",
     "sessionize",
+    "windowed_counts",
+    "rollup_revenue",
+    "pivot_events",
     "topk_per_group",
     "date_range",
     "group_count",
