@@ -124,6 +124,13 @@ class BloomState:
 
         return old.unionByName(delta).groupBy("bucket").applyInPandas(orbits, BLOOM_SCHEMA)
 
+    def update(self, table: DataFrame | None, new_hashes: DataFrame,
+               spark: SparkSession | None = None) -> DataFrame:
+        """Uniform update interface shared with :class:`CuckooState`."""
+        if table is None:
+            table = self.empty_df(spark or new_hashes.sparkSession)
+        return self.merge(table, self.build_delta(new_hashes))
+
     # ---- probe ---------------------------------------------------------------
 
     def probe(self, candidates: DataFrame, bloom: DataFrame,
@@ -204,6 +211,118 @@ def seen_anti_join(
         seen.select("canonical_hash").distinct(), "canonical_hash", "left_anti"
     )
     return definite_new.unionByName(recovered), recovered
+
+
+class CuckooState:
+    """Distributed, bucketed cuckoo-filter table — same contract as
+    :class:`BloomState` (update/probe over a ``(bucket, bits, n_items)``
+    table) plus :meth:`delete` for re-crawl eviction, which a bloom cannot do.
+
+    Same union-trick plumbing as the bloom probe: bits travel once per bucket
+    group, hashes stay skinny and non-null.
+    """
+
+    def __init__(self, n_buckets: int, capacity_per_bucket: int):
+        self.n_buckets = n_buckets
+        self.capacity = capacity_per_bucket
+
+    def bucket_col(self, hash_col):
+        return F.pmod(hash_col, F.lit(self.n_buckets)).cast("int")
+
+    def empty_df(self, spark: SparkSession) -> DataFrame:
+        empty = CuckooFilter(self.capacity).to_bytes()
+        pdf = pd.DataFrame(
+            {
+                "bucket": pd.array(range(self.n_buckets), dtype="int32"),
+                "bits": [empty] * self.n_buckets,
+                "n_items": pd.array([0] * self.n_buckets, dtype="int64"),
+            }
+        )
+        return spark.createDataFrame(pdf, BLOOM_SCHEMA)
+
+    def _apply(self, table: DataFrame, hashes: DataFrame, op: str,
+               hash_col: str = "canonical_hash") -> DataFrame:
+        cap = self.capacity
+
+        keyed = hashes.select(
+            self.bucket_col(F.col(hash_col)).alias("bucket"),
+            F.col(hash_col).alias("_h"),
+            F.lit(False).alias("is_b"),
+            F.lit(None).cast("binary").alias("bits"),
+        ).unionByName(
+            table.select(
+                "bucket", F.lit(0).cast("long").alias("_h"),
+                F.lit(True).alias("is_b"), "bits",
+            )
+        )
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            is_bits = pdf["is_b"].to_numpy()
+            bits_rows = pdf.loc[is_bits, "bits"]
+            hs = pdf.loc[~is_bits, "_h"].to_numpy().astype(np.int64)
+            cf = (
+                CuckooFilter.from_bytes(bits_rows.iloc[0], cap)
+                if len(bits_rows)
+                else CuckooFilter(cap)
+            )
+            n = 0
+            for h in hs:
+                hu = int(h) & _MASK64
+                if op == "insert":
+                    if not cf.insert(hu):
+                        raise RuntimeError("cuckoo bucket full — raise capacity")
+                    n += 1
+                else:
+                    cf.delete(hu)
+                    n -= 1
+            return pd.DataFrame(
+                {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [cf.to_bytes()],
+                 "n_items": [n]}
+            )
+
+        return keyed.groupBy("bucket").applyInPandas(per_bucket, BLOOM_SCHEMA)
+
+    def update(self, table: DataFrame | None, new_hashes: DataFrame,
+               spark: SparkSession | None = None) -> DataFrame:
+        if table is None:
+            table = self.empty_df(spark or new_hashes.sparkSession)
+        return self._apply(table, new_hashes, "insert")
+
+    def delete(self, table: DataFrame, hashes: DataFrame) -> DataFrame:
+        return self._apply(table, hashes, "delete")
+
+    def probe(self, candidates: DataFrame, table: DataFrame,
+              hash_col: str = "canonical_hash") -> DataFrame:
+        cap = self.capacity
+        keyed = candidates.withColumn("bucket", self.bucket_col(F.col(hash_col)))
+        probe_in = keyed.select(
+            "bucket", F.col(hash_col).alias("_h"),
+            F.lit(False).alias("is_b"), F.lit(None).cast("binary").alias("bits"),
+        ).unionByName(
+            table.select(
+                "bucket", F.lit(0).cast("long").alias("_h"),
+                F.lit(True).alias("is_b"), "bits",
+            )
+        )
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            is_bits = pdf["is_b"].to_numpy()
+            bits_rows = pdf.loc[is_bits, "bits"]
+            hashes = pdf.loc[~is_bits, "_h"]
+            if len(bits_rows) == 0:
+                maybe = np.zeros(len(hashes), dtype=bool)
+            else:
+                cf = CuckooFilter.from_bytes(bits_rows.iloc[0], cap)
+                maybe = np.fromiter(
+                    (cf.contains(int(h) & _MASK64) for h in hashes),
+                    dtype=bool, count=len(hashes),
+                )
+            return pd.DataFrame({"_h": hashes.astype("int64"), "maybe_seen": maybe})
+
+        flags = probe_in.groupBy("bucket").applyInPandas(
+            per_bucket, "_h long, maybe_seen boolean"
+        )
+        return keyed.join(flags, keyed[hash_col] == flags["_h"], "left").drop("_h")
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ class CrawlRunConfig:
     bloom_buckets: int = 8  # raise to ~4096 at 10^10 scale
     bloom_expected_per_bucket: int = 4096
     use_bloom: bool = True
+    seen_filter: str = "bloom"  # 'bloom' | 'cuckoo' (deletion-capable)
     created_at: str = "2026-01-01T00:00:00+00:00"  # deterministic createdAt stamp
     write_parts: int | None = 8  # coalesce small wave deltas; None at cluster scale
     # politeness/fetch budget: at most K article fetches per host per wave,
@@ -76,8 +77,13 @@ class WaveCrawl:
                 SCH.CATEGORIES,
             ).withColumnRenamed("slug", "article_type")
         )
-        m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
-        self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
+        if self.cfg.seen_filter == "cuckoo":
+            self.bloom_state = S.CuckooState(
+                self.cfg.bloom_buckets, self.cfg.bloom_expected_per_bucket
+            )
+        else:
+            m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
+            self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
 
     RECORDS_DDL = (
         "dataSource string, url string, publishedDate string, author string, "
@@ -290,6 +296,7 @@ class WaveCrawl:
                 seen_delta = new_rows.select(
                     "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
                 )
+                seen_delta_new = seen_delta  # pure new discoveries (filter update)
                 if cat.has("seen", wave):  # injected delta already in the slot
                     prior = cat.read_wave("seen", wave).localCheckpoint()
                     seen_delta = prior.unionByName(seen_delta)
@@ -333,12 +340,13 @@ class WaveCrawl:
         if deferred is not None:
             deferred.unpersist()
 
-        # ---------- bloom delta merge (skipped when nothing new) ----------
+        # ---------- seen-filter delta update (skipped when nothing new) ----------
+        # NB: only the pure-new rows go into the filter — injected rows were
+        # already inserted by inject_requests (idempotent for bloom; a cuckoo
+        # double-insert would waste slots and break delete symmetry)
         if cfg.use_bloom and n_new > 0:
-            delta = self.bloom_state.build_delta(cat.read_wave("seen", wave))
-            merged = self.bloom_state.merge(
-                bloom_tbl if bloom_tbl is not None else self.bloom_state.empty_df(spark),
-                delta,
+            merged = self.bloom_state.update(
+                bloom_tbl, seen_delta_new.select("canonical_hash"), spark
             )
             cat.write("bloom", wave, merged, parts)
 
@@ -509,11 +517,27 @@ class WaveCrawl:
         _os.makedirs(cat._dir("seen"))
         _os.rename(tmpdir, cat._dir("seen", last))
         kept.unpersist()
-        # rebuild bloom from the compacted seen
         if self.cfg.use_bloom:
-            delta = self.bloom_state.build_delta(cat.read_wave("seen", last))
-            merged = self.bloom_state.merge(self.bloom_state.empty_df(self.spark), delta)
-            cat.write("bloom", last, merged, self.cfg.write_parts)
+            if self.cfg.seen_filter == "cuckoo":
+                # the whole point of the cuckoo fallback: targeted deletes,
+                # no full-filter rebuild
+                bw = cat.latest_wave_of("bloom", last)
+                tbl = cat.read_wave("bloom", bw).localCheckpoint()
+                ev_h = ev.withColumn(
+                    "canonical_hash",
+                    canonical_hash_col(F.col("canonical_url")),
+                ).select("canonical_hash")
+                cat.write(
+                    "bloom", last, self.bloom_state.delete(tbl, ev_h),
+                    self.cfg.write_parts,
+                )
+            else:
+                # bloom can't delete: rebuild from the compacted seen set
+                merged = self.bloom_state.update(
+                    None, cat.read_wave("seen", last).select("canonical_hash"),
+                    self.spark,
+                )
+                cat.write("bloom", last, merged, self.cfg.write_parts)
         return n_before - n_kept
 
     def crawl_url_list(self, urls: list[str], skip_seen: bool = True) -> int:
@@ -586,10 +610,10 @@ class WaveCrawl:
                     base = (
                         cat.read_wave("bloom", bw).localCheckpoint()
                         if bw is not None
-                        else self.bloom_state.empty_df(self.spark)
+                        else None
                     )
-                    merged = self.bloom_state.merge(
-                        base, self.bloom_state.build_delta(new_seen)
+                    merged = self.bloom_state.update(
+                        base, new_seen.select("canonical_hash"), self.spark
                     )
                     cat.write("bloom", wave, merged, self.cfg.write_parts)
         f.unpersist()

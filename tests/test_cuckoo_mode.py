@@ -1,0 +1,65 @@
+"""Cuckoo-filter seen-set mode: oracle-exact crawl + targeted-delete eviction."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawler_news_spark.operators.seen import CuckooState
+from crawler_news_spark.oracle.pyoracle import crawl_oracle
+from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+from crawler_news_spark.sources import hostsim as hs
+
+
+def test_cuckoo_state_probe_no_false_negatives(spark):
+    st = CuckooState(n_buckets=4, capacity_per_bucket=4096)
+    a = spark.createDataFrame([(i * 2654435761,) for i in range(2000)],
+                              "canonical_hash long")
+    b = spark.createDataFrame(
+        [(i * 2654435761,) for i in range(1500, 3000)], "canonical_hash long"
+    )
+    tbl = st.update(None, a, spark)
+    probed = st.probe(b, tbl).collect()
+    inserted = {i * 2654435761 for i in range(2000)}
+    fp = 0
+    for r in probed:
+        if r["canonical_hash"] in inserted:
+            assert r["maybe_seen"], "cuckoo false negative!"
+        elif r["maybe_seen"]:
+            fp += 1
+    assert fp / 1500 < 0.05
+
+
+def test_cuckoo_crawl_equals_oracle(spark, tmp_path):
+    web = hs.default_web(scale=0.5)
+    oracle = crawl_oracle(web, batch_pages=4)
+    wc = WaveCrawl(
+        spark, web, str(tmp_path / "cat"),
+        CrawlRunConfig(batch_pages=4, bloom_buckets=4, seen_filter="cuckoo",
+                       bloom_expected_per_bucket=8192),
+    )
+    wc.run()
+    assert {r["canonical_url"] for r in wc.seen_df().collect()} == oracle.seen
+    arts = wc.articles_df().orderBy("crawl_order").collect()
+    assert [r["url"] for r in arts] == oracle.crawl_order
+
+
+def test_cuckoo_evict_recrawl(spark, tmp_path):
+    web = hs.default_web(scale=0.5)
+    wc = WaveCrawl(
+        spark, web, str(tmp_path / "cat"),
+        CrawlRunConfig(batch_pages=4, bloom_buckets=4, seen_filter="cuckoo",
+                       bloom_expected_per_bucket=8192),
+    )
+    wc.run()
+    before = wc.articles_df().collect()
+    targets = sorted({r["url"] for r in before})[:2]
+    assert wc.evict_seen(targets) == 2
+
+    from tests.test_recrawl_inject import _req_rows
+
+    assert wc.inject_requests(_req_rows(spark, targets)) == 2
+    wc.run(resume=True)
+    after = wc.articles_df().collect()
+    assert len(after) == len(before) + 2
+    # filter consistency after delete+reinsert: duplicates still dropped
+    assert wc.inject_requests(_req_rows(spark, targets)) == 0
