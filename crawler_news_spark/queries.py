@@ -115,7 +115,7 @@ def q_group_count(spark, sf_dir):
 
 SQL_GROUP_COUNT = """
     SELECT event_type, count(*) AS n,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY event_type
 """
 
@@ -232,9 +232,9 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_c,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_price_c,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
            count(*) AS n_rows
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -270,8 +270,8 @@ SQL_SESSIONIZE = """
       FROM o
     ), s AS (
       SELECT user_id,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM m
     )
     SELECT user_id, session_id, count(*) AS n_events
@@ -295,7 +295,7 @@ def q_windowed_counts(spark, sf_dir):
 SQL_WINDOWED = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
 """
 
@@ -320,7 +320,7 @@ SQL_ROLLUP = """
     SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
            coalesce(l_linestatus, 'ALL') AS l_linestatus,
            count(*) AS n,
-           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_c
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_c
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -339,11 +339,11 @@ def q_pivot_events(spark, sf_dir):
 
 SQL_PIVOT = """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM events GROUP BY user_id
 """
 
