@@ -68,42 +68,122 @@ def duplicate_groups(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (character shingles)
+#
+# Scale design (the 100 TB path): signatures are computed in ONE vectorized
+# Arrow pass per document — numpy sliding-window polynomial hashing over
+# codepoints, then k affine min-hash transforms.  Nothing is exploded and
+# nothing shuffles until the (tiny) signature table hits the banded LSH
+# self-join.  Candidate pairs are verified with an exact shingle-set Jaccard
+# vUDF over the two joined texts — |pairs| rows, not |pairs| x |shingles|.
+#
+# Cross-engine determinism: the shingle hash is Kirsch-Mitzenmacher double
+# hashing over md5 — u1/u2 are the first two 40-bit halves of md5(shingle),
+# sig_i = min over distinct shingles of (u1 + i*u2) mod prime P.  md5 is
+# identical everywhere; the hex halves are CAST('0x…' AS BIGINT) in DuckDB,
+# so the whole MinHash/LSH/Jaccard pipeline has an exact ANSI-SQL oracle.
+# (A structured polynomial base hash was tried first: its lack of min-wise
+# independence inflated band collisions ~2.5x vs md5 on a shared-vocabulary
+# corpus — overlapping windows correlate any Horner-style hash.)
 # ---------------------------------------------------------------------------
 
 N_SIGS = 8
 SHINGLE = 5
+MH_P = 4_294_967_291  # largest 32-bit prime
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct character 5-shingles per doc (explode over positions)."""
-    return (
-        docs.select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (SHINGLE - 1), F.lit(1)))
-            ).alias("pos"),
-            F.col(text_col).alias("_t"),
-        )
-        .select(id_col, F.expr(f"substring(_t, pos, {SHINGLE})").alias("shingle"))
-        .distinct()
+def shingle_set_py(text: str) -> set:
+    """Distinct 5-char windows; substr(text, i, 5) semantics (a doc shorter
+    than 5 chars yields one short shingle; empty text yields {''})."""
+    n = max(len(text) - (SHINGLE - 1), 1)
+    return {text[i : i + SHINGLE] for i in range(n)}
+
+
+def shingle_uv_py(s: str) -> tuple[int, int]:
+    """(u1, u2) = first two 10-hex-digit halves of md5(shingle), mod P."""
+    import hashlib
+
+    hx = hashlib.md5(s.encode()).hexdigest()
+    return int(hx[:10], 16) % MH_P, int(hx[10:20], 16) % MH_P
+
+
+def minhash_sigs_py(text: str) -> list[int]:
+    """Pure-Python spec: k Kirsch-Mitzenmacher min-hashes over the distinct
+    shingle set.  i*u2 <= 7*(P-1) < 2^35, so everything fits signed 64-bit
+    in both engines."""
+    uv = [shingle_uv_py(s) for s in shingle_set_py(text)]
+    return [min((u1 + i * u2) % MH_P for u1, u2 in uv) for i in range(N_SIGS)]
+
+
+def _sigs_batch(texts) -> "np.ndarray":  # noqa: F821
+    """Vectorized minhash_sigs_py over a batch: (len(texts), N_SIGS).
+
+    md5 once per distinct shingle per doc (the only Python-loop cost,
+    ~0.2 ms/doc); the k transforms + min are numpy."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((len(texts), N_SIGS), dtype=np.int64)
+    I = np.arange(N_SIGS, dtype=np.uint64).reshape(-1, 1)
+    P = np.uint64(MH_P)
+    for r, text in enumerate(texts):
+        t = text or ""
+        n = max(len(t) - (SHINGLE - 1), 1)
+        shs = {t[i : i + SHINGLE] for i in range(n)}
+        uv = np.empty((len(shs), 2), dtype=np.uint64)
+        for k, s in enumerate(shs):
+            hx = hashlib.md5(s.encode()).hexdigest()
+            uv[k, 0] = int(hx[:10], 16)
+            uv[k, 1] = int(hx[10:20], 16)
+        u1 = uv[:, 0] % P
+        u2 = uv[:, 1] % P
+        out[r] = ((u1[None, :] + I * u2[None, :]) % P).min(axis=1).astype(np.int64)
+    return out
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", spread: bool = True) -> DataFrame:
+    """k min-hash signatures per doc (long columns sig0..sig{k-1}).
+
+    One mapInPandas pass: the scale path.  Output is exactly
+    minhash_sigs_py per row (pytest) and the DuckDB Horner oracle (gate).
+
+    ``spread`` repartitions the narrow (id, text) projection to the session's
+    default parallelism first: a single parquet split (or an AQE-coalesced
+    byte-small input) would otherwise run the whole vUDF on 1-2 tasks.  On a
+    cluster whose scan already yields >= cores splits this is one extra
+    round-robin shuffle of the projected columns — drop it with spread=False.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    schema = StructType(
+        [StructField(id_col, id_field.dataType)]
+        + [StructField(f"sig{i}", LongType()) for i in range(N_SIGS)]
     )
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = _sigs_batch(pdf[text_col].tolist())
+            out = {id_col: pdf[id_col].values}
+            for i in range(N_SIGS):
+                out[f"sig{i}"] = sigs[:, i]
+            yield pd.DataFrame(out)
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """k lexicographic-min md5 signatures per doc (columns sig0..sig{k-1})."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"sig{i}")
-        for i in range(N_SIGS)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    narrow = docs.select(id_col, text_col)
+    if spread:
+        narrow = narrow.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return narrow.mapInPandas(gen, schema)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH: docs sharing any band hash become candidate pairs (a<b).
+    """Banded LSH: docs sharing any band (pair of raw sig values) become
+    candidate pairs (a<b).
 
-    The self-join is keyed on the band value — a shuffle join on a
-    high-cardinality key, NOT an O(n^2) cross join.
+    The self-join is keyed on (band, v0, v1) — a shuffle join on a
+    high-cardinality key, NOT an O(n^2) cross join.  Band keys are the raw
+    long signatures; no re-hash needed.
     """
     n_bands = N_SIGS // rows_per_band
     bands = sigs.select(
@@ -113,21 +193,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(
-                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
-                            )
-                        ).alias("bhash"),
+                        F.col(f"sig{b * rows_per_band}").alias("v0"),
+                        F.col(f"sig{b * rows_per_band + 1}").alias("v1"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
+    ).select(id_col, "bb.band", "bb.v0", "bb.v1")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["band", "bhash"])
+        a.join(b, ["band", "v0", "v1"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
@@ -136,42 +213,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """True shingle-Jaccard for candidate pairs, micro-unit integerized."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    inter = (
-        pairs.join(sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
-        .withColumn(
-            "jaccard_u",
-            F.floor(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-                * 1e6
-                + F.lit(0.5)
-            ).cast("long"),
-        )
-        .select("doc_a", "doc_b", "n_inter", "jaccard_u")
-    )
-    return out
-
-
 def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id",
-                       min_matches: int = 2) -> DataFrame:
+                       min_matches: int = 3) -> DataFrame:
     """Prune LSH candidates by the MinHash Jaccard *estimate* (matching
-    signature count) before the expensive exact-Jaccard shingle join.
+    signature count) before fetching texts for the exact verify.
 
-    The estimate is a column comparison on the small signature table — on a
-    shared-vocabulary corpus the banded LSH emits many low-similarity
-    candidates, and the shingle join is |pairs| x |shingles/doc| rows; this
-    cuts it by ~an order of magnitude.  Deterministic, so the DuckDB oracle
-    applies the identical rule.
+    On a shared-vocabulary corpus the banded LSH emits many low-similarity
+    candidates; this column compare on the skinny signature table cuts the
+    verify set (and the two text joins feeding it) by ~10x.  Deterministic,
+    so the DuckDB oracle applies the identical rule.
     """
     sa = sigs.select(
         F.col(id_col).alias("doc_a"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_SIGS)]
@@ -191,16 +241,67 @@ def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id"
     )
 
 
+def jaccard_py(text_a: str, text_b: str) -> tuple[int, int]:
+    """Exact distinct-5-shingle Jaccard spec: (n_inter, jaccard_u)."""
+    import math
+
+    def sset(t: str) -> set:
+        n = max(len(t) - (SHINGLE - 1), 1)
+        return {t[i : i + SHINGLE] for i in range(n)}
+
+    a, b = sset(text_a or ""), sset(text_b or "")
+    n_inter = len(a & b)
+    union = len(a) + len(b) - n_inter
+    return n_inter, int(math.floor(n_inter * 1e6 / union + 0.5))
+
+
+def exact_jaccard_on_pairs(pairs: DataFrame, docs: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard per candidate pair via an Arrow vUDF.
+
+    Texts reach the pair via two hash joins (candidates << corpus at scale);
+    the set intersection is O(len_a + len_b) per pair inside one Python
+    batch — no |pairs| x |shingles/doc| explode-join.
+    """
+    j = (
+        pairs.join(
+            docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")),
+            "doc_b",
+        )
+    )
+
+    @F.pandas_udf("struct<n_inter:long, jaccard_u:long>")
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        rows = [jaccard_py(x, y) for x, y in zip(ta, tb)]
+        return pd.DataFrame(rows, columns=["n_inter", "jaccard_u"])
+
+    return (
+        j.withColumn("_j", _jac(F.col("_ta"), F.col("_tb")))
+        .select("doc_a", "doc_b", F.col("_j.n_inter").alias("n_inter"),
+                F.col("_j.jaccard_u").alias("jaccard_u"))
+    )
+
+
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold_u: int = 500_000,
                       min_sig_matches: int = 3) -> DataFrame:
-    """Full pipeline: shingles -> signatures -> LSH pairs -> estimate prune
-    -> exact Jaccard filter."""
-    sh = shingles(docs, text_col, id_col).cache()
-    sigs = minhash_signatures(sh, id_col)
+    """Full pipeline: vUDF signatures -> banded LSH pairs -> estimate prune
+    -> exact-Jaccard verify (per-pair vUDF) -> threshold filter.
+
+    The signature table is persisted: the band self-join reads it twice and
+    the prune twice more — without a persist the signature vUDF subtree
+    re-executes ~5x.  At scale it is n_docs x (id + 8 longs), far smaller
+    than the corpus, and the natural thing to materialize anyway.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col).persist()
     pairs = lsh_candidate_pairs(sigs, id_col)
-    pruned = sig_estimate_prune(pairs, sigs, id_col, min_sig_matches)
-    jac = jaccard_on_pairs(pruned, sh, id_col)
+    pruned = sig_estimate_prune(pairs, sigs, id_col, min_sig_matches).persist()
+    jac = exact_jaccard_on_pairs(pruned, docs, text_col, id_col)
     return jac.filter(F.col("jaccard_u") >= threshold_u)
 
 
@@ -225,12 +326,60 @@ def simhash_py(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def _simhash_batch(texts) -> "np.ndarray":  # noqa: F821
+    """numpy-batched simhash_py: md5 only per *unique* token in the batch,
+    bit unpack + ±1 accumulation fully vectorized (no per-bit Python loop).
+    """
+    import hashlib
+
+    import numpy as np
+
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(x) for x in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    out = np.zeros(len(texts), dtype=np.int64)
+    if total == 0:
+        return out
+
+    # md5 once per *distinct* token (dict cache — vocab repeats heavily)
+    cache: dict[str, int] = {}
+
+    def h_of(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = v
+        return v
+
+    hs = np.fromiter(
+        (h_of(t) for lst in tok_lists for t in lst), dtype=np.uint64, count=total
+    ).astype("<u8", copy=False)  # pin little-endian for the byte view below
+    # bit-unpack: little-endian byte view + bitorder='little' puts bit b of
+    # the uint64 at column b — no 64-iteration Python loop, no (T,64) uint64
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(total, 8), axis=1, bitorder="little"
+    ).astype(np.int32)  # (T, 64) in {0,1}
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nonempty = counts > 0
+    # reduceat misreads zero-length segments; accumulate only non-empty docs
+    # (starts of consecutive non-empty docs are the true segment bounds —
+    # empty docs contribute zero tokens between them)
+    ones = np.add.reduceat(bits, starts[nonempty], axis=0)  # (D', 64)
+    # acc = (+1 per one-bit, -1 per zero-bit) = 2*ones - n_tokens; acc > 0
+    sign_bits = (2 * ones > counts[nonempty, None]).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    packed = (sign_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed.view(np.int64)
+    return out
+
+
 def simhash_col(text_col: str = "text"):
-    """Arrow-batched SimHash (pandas_udf over string series)."""
+    """Arrow-batched SimHash (vectorized pandas_udf; spec = simhash_py)."""
 
     @F.pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
-        return s.map(simhash_py)
+        return pd.Series(_simhash_batch(s.tolist()))
 
     return _simhash(F.col(text_col))
 
@@ -238,8 +387,16 @@ def simhash_col(text_col: str = "text"):
 def simhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
     """SimHash near-dups: band the 64-bit hash into 4x16-bit keys; a pair
-    within hamming<=max_hamming shares at least one exact band w.h.p."""
-    withsh = docs.select(id_col, simhash_col(text_col).alias("simhash"))
+    within hamming<=max_hamming shares at least one exact band w.h.p.
+
+    The hash pass is spread to default parallelism first (same single-split
+    input trap as minhash_signatures)."""
+    spread = docs.select(id_col, F.col(text_col)).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    # persisted: the band self-join reads the hash table twice; without it
+    # the hash vUDF re-executes per side (n_docs x 16 bytes — tiny)
+    withsh = spread.select(id_col, simhash_col(text_col).alias("simhash")).persist()
     bands = withsh.select(
         id_col,
         "simhash",

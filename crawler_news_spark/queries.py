@@ -392,6 +392,11 @@ SQL_FINGERPRINT_Q = f"SELECT doc_id, {TX.SQL_FINGERPRINT} AS fp FROM documents"
 # MinHash / LSH / Jaccard family
 # ---------------------------------------------------------------------------
 
+# Shingle hash = Kirsch-Mitzenmacher over md5: u1/u2 are the first two
+# 10-hex-digit (40-bit) halves of md5(shingle) mod P, sig_i = min(u1 + i*u2)
+# mod P — exactly operators/dedup.py:minhash_sigs_py.
+_MH_P = DD.MH_P
+
 _SQL_SHINGLES = """
     WITH sh AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
@@ -400,35 +405,40 @@ _SQL_SHINGLES = """
     )
 """
 
-_SQL_SIGS = """
+_SQL_SIGS = (
+    f""", hs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 10)) AS BIGINT) % {_MH_P} AS u1,
+             CAST(concat('0x', substr(md5(shingle), 11, 10)) AS BIGINT) % {_MH_P} AS u2
+      FROM sh
+    )
     , sigs AS (
       SELECT doc_id,
-        min(md5(concat('s0|', shingle))) AS sig0, min(md5(concat('s1|', shingle))) AS sig1,
-        min(md5(concat('s2|', shingle))) AS sig2, min(md5(concat('s3|', shingle))) AS sig3,
-        min(md5(concat('s4|', shingle))) AS sig4, min(md5(concat('s5|', shingle))) AS sig5,
-        min(md5(concat('s6|', shingle))) AS sig6, min(md5(concat('s7|', shingle))) AS sig7
-      FROM sh GROUP BY doc_id
-    )
 """
+    + ",\n".join(
+        f"        min((u1 + {i} * u2) % {_MH_P}) AS sig{i}" for i in range(DD.N_SIGS)
+    )
+    + "\n      FROM hs GROUP BY doc_id\n    )\n"
+)
 
 _SQL_BANDS = """
     , bands AS (
-      SELECT doc_id, 0 AS band, md5(concat(sig0, sig1)) AS bhash FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(concat(sig2, sig3)) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(concat(sig4, sig5)) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(concat(sig6, sig7)) FROM sigs
+      SELECT doc_id, 0 AS band, sig0 AS v0, sig1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, 1, sig2, sig3 FROM sigs
+      UNION ALL SELECT doc_id, 2, sig4, sig5 FROM sigs
+      UNION ALL SELECT doc_id, 3, sig6, sig7 FROM sigs
     )
     , pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
     )
 """
 
 
 def q_minhash_signatures(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return DD.minhash_signatures(DD.shingles(docs))
+    return DD.minhash_signatures(docs)
 
 
 SQL_MINHASH_SIGS = (
@@ -439,7 +449,7 @@ SQL_MINHASH_SIGS = (
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return DD.lsh_candidate_pairs(DD.minhash_signatures(DD.shingles(docs)))
+    return DD.lsh_candidate_pairs(DD.minhash_signatures(docs))
 
 
 SQL_MINHASH_PAIRS = (
