@@ -242,9 +242,15 @@ def ivf_topk(
     Scale path: the corpus is partitioned by cluster; a query scores only
     ~n_probe/n_clusters of the data.  Recall vs brute force pytest-verified.
     """
+    # seeded sample, not limit(): limit takes the first partitions only,
+    # biasing the quantizer toward whatever data happens to sort first
+    n_total = emb.count()
+    frac = min(1.0, 4096 / max(n_total, 1))
+    rows = emb.sample(fraction=frac, seed=seed).limit(2048).collect()
+    if not rows:
+        rows = emb.limit(2048).collect()
     sample = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64)
-         for r in emb.limit(2048).collect()]
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
     )
     cent = kmeans_centroids(_normalize_rows(sample), n_clusters, seed)
     clustered = add_ivf_cluster(emb, cent, id_col, vec_col)
@@ -281,6 +287,52 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank", "sim_u")
         .distinct()
     )
+
+
+def planted_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus + deterministically derived near-duplicate rows (double[]).
+
+    The raw fixture contains no >=0.9-cosine pair, which made near-dup
+    queries pass vacuously on 0 == 0 rows.  Two derived families fix that
+    without touching the read-only testdata:
+
+    - exact twins: every vec_id % 50 == 7 row re-appears at id+1_000_000
+      with the same vector (cosine exactly 1);
+    - perturbed twins: every vec_id % 50 == 13 row re-appears at
+      id+2_000_000 with element 0 doubled.  For any vector,
+      cos(v, v + v0*e0) = (1+t)/sqrt(1+3t) with t = v0^2/|v|^2, minimized
+      at t=1/3 giving 0.9428 — always above the 0.9 near-dup threshold.
+
+    Doubling a float is exact in IEEE, and both engines do it on the
+    double-cast vector, so the DuckDB twin is bit-identical.
+    """
+    e = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col))
+    exact = e.filter(F.col(id_col) % 50 == 7).select(
+        (F.col(id_col) + 1_000_000).alias(id_col), F.col(vec_col)
+    )
+    pert = e.filter(F.col(id_col) % 50 == 13).select(
+        (F.col(id_col) + 2_000_000).alias(id_col),
+        F.concat(
+            F.array(F.col(vec_col).getItem(0) * 2.0),
+            F.expr(f"slice({vec_col}, 2, size({vec_col}) - 1)"),
+        ).alias(vec_col),
+    )
+    return e.unionAll(exact).unionAll(pert)
+
+
+SQL_PLANTED_EMB = """
+    WITH pl AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 50 = 7
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_prepend((embedding::DOUBLE[])[1] * 2.0, (embedding::DOUBLE[])[2:])
+      FROM embeddings WHERE vec_id % 50 = 13
+    )
+"""
 
 
 def embedding_near_dups(

@@ -513,10 +513,11 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups_exact(spark, sf_dir):
-    """Brute-force near-dup pairs (the oracle-able exact baseline)."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), SIM._as_double(F.col("embedding")).alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), SIM._as_double(F.col("embedding")).alias("eb"))
+    """Brute-force near-dup pairs over the planted corpus (the oracle-able
+    exact baseline — non-vacuous: planted twins guarantee >=20 hits)."""
+    emb = SIM.planted_embeddings(load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -529,13 +530,16 @@ def q_embedding_near_dups_exact(spark, sf_dir):
     )
 
 
-SQL_EMB_NEAR_DUPS = """
+SQL_EMB_NEAR_DUPS = (
+    SIM.SQL_PLANTED_EMB
+    + """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) AS sim_u
-    FROM embeddings a, embeddings b
+           CAST(floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) AS BIGINT) AS sim_u
+    FROM pl a, pl b
     WHERE a.vec_id < b.vec_id
-      AND CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT) >= 900000
+      AND CAST(floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) AS BIGINT) >= 900000
 """
+)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -559,7 +563,7 @@ def q_winnow_pairs(spark, sf_dir):
 
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
+    emb = SIM.planted_embeddings(load(spark, sf_dir, "embeddings"))
     return SIM.embedding_near_dups(emb, threshold_u=900_000)
 
 

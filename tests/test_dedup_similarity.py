@@ -122,6 +122,29 @@ def test_embedding_near_dups_lsh_finds_planted(emb):
     assert (3, 7) in pairs
 
 
+def test_planted_embeddings_non_vacuous(emb):
+    """planted_embeddings guarantees >=0.9-cosine pairs; LSH finds them."""
+    pl = SIM.planted_embeddings(emb)
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in pl.collect()}
+    # derived twins exist with guaranteed similarity
+    assert 1_000_007 in rows and 2_000_013 in rows
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(rows[7], rows[1_000_007]) == 1.0
+    assert cos(rows[13], rows[2_000_013]) >= 0.9428  # (1+t)/sqrt(1+3t) min
+    ids = sorted(rows)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if cos(rows[a], rows[b]) >= 0.99}
+    assert truth, "fixture must plant at least one >=0.99 pair"
+    got = {(r["id_a"], r["id_b"]) for r in
+           SIM.embedding_near_dups(pl, threshold_u=990_000, n_planes=4, dim=16).collect()}
+    assert len(got & truth) / len(truth) >= 0.8  # LSH recall on planted pairs
+    assert (7, 1_000_007) in got
+
+
 def test_media_decode_stub(spark, planted_docs):
     meta = MM.decode_media(MM.synth_media(planted_docs)).collect()
     assert len(meta) == 5
