@@ -24,8 +24,12 @@ LANG_MARKERS = {
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace tokenization count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace tokenization count.
+
+    regexp_extract_all, not split: split('') yields [''] (count 1) while the
+    DuckDB twin counts 0 tokens for empty/whitespace-only text — this form
+    returns 0 on both engines."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
 
 
 def token_count_bpe_ish(text: Column) -> Column:

@@ -249,10 +249,12 @@ class CuckooState:
             F.col(hash_col).alias("_h"),
             F.lit(False).alias("is_b"),
             F.lit(None).cast("binary").alias("bits"),
+            F.lit(0).cast("long").alias("n0"),
         ).unionByName(
             table.select(
                 "bucket", F.lit(0).cast("long").alias("_h"),
                 F.lit(True).alias("is_b"), "bits",
+                F.col("n_items").alias("n0"),
             )
         )
 
@@ -260,20 +262,21 @@ class CuckooState:
             is_bits = pdf["is_b"].to_numpy()
             bits_rows = pdf.loc[is_bits, "bits"]
             hs = pdf.loc[~is_bits, "_h"].to_numpy().astype(np.int64)
-            cf = (
-                CuckooFilter.from_bytes(bits_rows.iloc[0], cap)
-                if len(bits_rows)
-                else CuckooFilter(cap)
-            )
-            n = 0
+            if len(bits_rows):
+                cf = CuckooFilter.from_bytes(bits_rows.iloc[0], cap)
+                # seed from the incoming state — n_items accumulates across
+                # updates, not per batch
+                n = int(pdf.loc[is_bits, "n0"].iloc[0])
+            else:
+                cf = CuckooFilter(cap)
+                n = 0
             for h in hs:
                 hu = int(h) & _MASK64
                 if op == "insert":
                     if not cf.insert(hu):
                         raise RuntimeError("cuckoo bucket full — raise capacity")
                     n += 1
-                else:
-                    cf.delete(hu)
+                elif cf.delete(hu):  # only count deletes that removed something
                     n -= 1
             return pd.DataFrame(
                 {"bucket": [int(pdf["bucket"].iloc[0])], "bits": [cf.to_bytes()],

@@ -60,63 +60,138 @@ class CrawlCatalog:
         return self.read_manifest()["last_wave"]
 
     # ---- table I/O ---------------------------------------------------------
+    #
+    # A wave slot can hold several snapshot dirs:
+    #   wave-N        — written by the wave loop itself (plain)
+    #   wave-N-injK   — pre-writes from inject_requests (tagged)
+    # Tagged dirs let crash recovery tell injected pre-writes (which must
+    # survive a crash of the not-yet-committed wave N) apart from the crashed
+    # wave's own partial deltas (which must NOT — resuming with them present
+    # would anti-join the re-run wave against its own discoveries and
+    # silently drop every URL found in the crashed attempt).
 
-    def _dir(self, table: str, wave: int | None = None) -> str:
+    def _dir(self, table: str, wave: int | None = None, tag: str | None = None) -> str:
         # NOTE: "wave-N", not "wave=N" — the wave is carried as a data column
         # where needed, and key=value dirs would make Spark's partition
         # discovery collide with it.
         d = os.path.join(self.root, table)
-        return d if wave is None else os.path.join(d, f"wave-{wave}")
+        if wave is None:
+            return d
+        name = f"wave-{wave}" if tag is None else f"wave-{wave}-{tag}"
+        return os.path.join(d, name)
 
-    def write(self, table: str, wave: int, df: DataFrame, parts: int | None = None) -> None:
+    @staticmethod
+    def _parse_wave_dir(name: str) -> tuple[int, str | None] | None:
+        if not name.startswith("wave-"):
+            return None
+        parts = name.split("-", 2)
+        try:
+            w = int(parts[1])
+        except ValueError:
+            return None
+        return w, (parts[2] if len(parts) > 2 else None)
+
+    def _committed_dirs(self, table: str, upto: int) -> list[tuple[int, str | None, str]]:
+        """All committed (wave, tag, path) snapshots of ``table`` with wave <= upto."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for sub in sorted(os.listdir(tdir)):
+            p = self._parse_wave_dir(sub)
+            if p is None:
+                continue
+            w, tag = p
+            full = os.path.join(tdir, sub)
+            if w <= upto and os.path.exists(os.path.join(full, "_SUCCESS")):
+                out.append((w, tag, full))
+        return out
+
+    def write(self, table: str, wave: int, df: DataFrame,
+              parts: int | None = None, tag: str | None = None) -> None:
         """Append a wave snapshot.  ``parts`` coalesces small deltas so tiny
         waves don't write #shuffle-partitions near-empty files (at cluster
         scale leave None and let AQE size the output)."""
         if parts is not None:
             df = df.coalesce(parts)
-        df.write.mode("overwrite").parquet(self._dir(table, wave))
+        df.write.mode("overwrite").parquet(self._dir(table, wave, tag))
+
+    def write_tagged(self, table: str, wave: int, df: DataFrame,
+                     parts: int | None = None, prefix: str = "inj") -> str:
+        """Append a tagged snapshot alongside the slot's other dirs (never
+        overwrites — each call gets the next free injK tag)."""
+        k = 0
+        while os.path.exists(self._dir(table, wave, f"{prefix}{k}")):
+            k += 1
+        tag = f"{prefix}{k}"
+        self.write(table, wave, df, parts, tag=tag)
+        return tag
 
     def has(self, table: str, wave: int) -> bool:
-        return os.path.exists(os.path.join(self._dir(table, wave), "_SUCCESS"))
+        return any(w == wave for w, _t, _p in self._committed_dirs(table, wave))
 
     def read_wave(self, table: str, wave: int) -> DataFrame:
-        return self.spark.read.parquet(self._dir(table, wave))
+        """All committed snapshots of one slot (plain + tagged), unioned."""
+        dirs = [p for w, _t, p in self._committed_dirs(table, wave) if w == wave]
+        return self.spark.read.parquet(*dirs)
 
     def latest_wave_of(self, table: str, upto: int) -> int | None:
         """Highest committed wave <= upto that has a snapshot of ``table``
         (tables skip their write on empty waves)."""
-        for w in range(upto, -1, -1):
-            if self.has(table, w):
-                return w
-        return None
+        dirs = self._committed_dirs(table, upto)
+        return max((w for w, _t, _p in dirs), default=None)
 
     def read_upto(self, table: str, upto_wave: int) -> DataFrame | None:
-        """Union of all committed waves <= upto_wave (directory-pruned)."""
-        dirs = [
-            self._dir(table, w)
-            for w in range(upto_wave + 1)
-            if self.has(table, w)
-        ]
+        """Union of all committed snapshots <= upto_wave (directory-pruned)."""
+        dirs = [p for _w, _t, p in self._committed_dirs(table, upto_wave)]
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs)
 
+    def read_latest_state(self, table: str, upto: int) -> DataFrame | None:
+        """The single *newest* committed snapshot <= upto — for state tables
+        (bloom/cuckoo) where each dir is a full merged filter, not a delta.
+
+        Within a slot the wave loop's plain write post-dates any injK tags
+        (injection always precedes the wave run), and injK order is by K.
+        """
+        dirs = self._committed_dirs(table, upto)
+        if not dirs:
+            return None
+
+        def order(d: tuple[int, str | None, str]):
+            w, tag, _p = d
+            if tag is None:
+                return (w, 1, 0)
+            return (w, 0, int(tag.removeprefix("inj") or 0) if tag.startswith("inj") else 0)
+
+        return self.spark.read.parquet(max(dirs, key=order)[2])
+
     def prune_uncommitted(self) -> None:
         """Drop wave dirs past the manifest's last completed wave (crash debris).
 
-        Committing wave ``w`` covers tables written at ``wave=w`` plus the
-        *next* frontier at ``wave=w+1``; injected requests (inject_requests)
-        may also pre-write seen/bloom deltas at ``w+1`` — those three tables
-        keep one extra wave.
+        Keep rules:
+        - plain dirs: <= last, except ``frontier`` which keeps <= last+1
+          (wave w's commit covers the next frontier it wrote at w+1);
+        - tagged (injected) dirs: <= last+1 — inject_requests pre-writes
+          frontier/seen/bloom deltas for the next wave, and those must
+          survive a crash of that wave's first attempt.  The crashed wave's
+          own deltas are plain dirs at last+1 and are dropped, restoring the
+          exact-resume guarantee.
         """
         last = self.last_wave()
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
             if not os.path.isdir(tdir):
                 continue
-            keep = last + 1 if table in ("frontier", "seen", "bloom") else last
             for sub in os.listdir(tdir):
-                if sub.startswith("wave-"):
-                    w = int(sub.split("-")[1])
-                    if w > keep:
-                        shutil.rmtree(os.path.join(tdir, sub))
+                p = self._parse_wave_dir(sub)
+                if p is None:
+                    continue
+                w, tag = p
+                if tag is None:
+                    keep = w <= (last + 1 if table == "frontier" else last)
+                else:
+                    keep = w <= last + 1
+                if not keep:
+                    shutil.rmtree(os.path.join(tdir, sub))

@@ -199,9 +199,8 @@ class WaveCrawl:
         if has_listings or has_articles:
             scheduled = scheduled.cache()
 
-        # include wave-w deltas pre-written by inject_requests (if any)
-        bw = cat.latest_wave_of("bloom", wave)
-        bloom_tbl = cat.read_wave("bloom", bw) if bw is not None else None
+        # newest merged filter state (includes inject_requests pre-writes)
+        bloom_tbl = cat.read_latest_state("bloom", wave)
         n_bloom_fp = 0
         n_new = 0
         next_listing_rows: list[tuple] = []
@@ -293,14 +292,13 @@ class WaveCrawl:
             )
 
             if n_new > 0:
-                seen_delta = new_rows.select(
+                # plain delta only: injected same-wave deltas live in their
+                # own tagged dirs (read_upto unions them), so a crash of this
+                # wave can be pruned without touching the injected rows
+                seen_delta_new = new_rows.select(
                     "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
                 )
-                seen_delta_new = seen_delta  # pure new discoveries (filter update)
-                if cat.has("seen", wave):  # injected delta already in the slot
-                    prior = cat.read_wave("seen", wave).localCheckpoint()
-                    seen_delta = prior.unionByName(seen_delta)
-                cat.write("seen", wave, seen_delta, parts)
+                cat.write("seen", wave, seen_delta_new, parts)
 
             # next-wave article rows; priority = depth + recency proxy
             next_articles = new_rows.select(
@@ -500,11 +498,25 @@ class WaveCrawl:
 
         cat = self.cat
         last = cat.last_wave()
-        seen = cat.read_upto("seen", last)
+        # upto last+1: injected (tagged) seen deltas for the next wave must
+        # survive the compaction — the rmtree below removes their dirs, so
+        # their rows have to ride along into the compacted snapshot
+        seen = cat.read_upto("seen", last + 1)
         if seen is None:
             return 0
         ev = self.spark.createDataFrame(
             [(canonicalize_py(u),) for u in urls], "canonical_url string"
+        )
+        # cuckoo deletion is only safe for items actually inserted: deleting
+        # a never-inserted URL whose fingerprint collides with a resident
+        # entry evicts that entry — a false negative that routes its URL
+        # around the exact anti-join.  Restrict the delete set to rows that
+        # exist in seen, materialized BEFORE the seen dirs are compacted away.
+        ev_present = (
+            seen.join(F.broadcast(ev), "canonical_url", "left_semi")
+            .select("canonical_hash")
+            .distinct()
+            .localCheckpoint()
         )
         kept = seen.join(F.broadcast(ev), "canonical_url", "left_anti").cache()
         n_before = seen.count()
@@ -518,17 +530,16 @@ class WaveCrawl:
         _os.rename(tmpdir, cat._dir("seen", last))
         kept.unpersist()
         if self.cfg.use_bloom:
+            # the new filter state is written TAGGED at last+1: a plain write
+            # at ``last`` would be shadowed by any pre-existing inject tag at
+            # last+1 (read_latest_state prefers the higher slot), resurrecting
+            # the evicted entries
             if self.cfg.seen_filter == "cuckoo":
                 # the whole point of the cuckoo fallback: targeted deletes,
                 # no full-filter rebuild
-                bw = cat.latest_wave_of("bloom", last)
-                tbl = cat.read_wave("bloom", bw).localCheckpoint()
-                ev_h = ev.withColumn(
-                    "canonical_hash",
-                    canonical_hash_col(F.col("canonical_url")),
-                ).select("canonical_hash")
-                cat.write(
-                    "bloom", last, self.bloom_state.delete(tbl, ev_h),
+                tbl = cat.read_latest_state("bloom", last + 1).localCheckpoint()
+                cat.write_tagged(
+                    "bloom", last + 1, self.bloom_state.delete(tbl, ev_present),
                     self.cfg.write_parts,
                 )
             else:
@@ -537,7 +548,7 @@ class WaveCrawl:
                     None, cat.read_wave("seen", last).select("canonical_hash"),
                     self.spark,
                 )
-                cat.write("bloom", last, merged, self.cfg.write_parts)
+                cat.write_tagged("bloom", last + 1, merged, self.cfg.write_parts)
         return n_before - n_kept
 
     def crawl_url_list(self, urls: list[str], skip_seen: bool = True) -> int:
@@ -576,24 +587,37 @@ class WaveCrawl:
             .withColumn("priority", F.lit(1.0))
         )
         arts = f.filter(F.col("kind") == "article")
+        # within-batch keep-first by the crawl key (two micro-batches or one
+        # batch carrying the same URL twice must inject it once)
+        key = F.struct("type_id", "page_no", "link_index", "host", "url", "kind")
+        arts = (
+            arts.groupBy("canonical_hash", "canonical_url")
+            .agg(F.min(key).alias("k"), F.first("wave").alias("wave"),
+                 F.first("depth").alias("depth"), F.first("priority").alias("priority"))
+            .select(
+                "wave", F.col("k.host").alias("host"), F.col("k.kind").alias("kind"),
+                F.col("k.type_id").alias("type_id"), F.col("k.page_no").alias("page_no"),
+                F.col("k.link_index").alias("link_index"), F.col("k.url").alias("url"),
+                "canonical_url", "canonical_hash", "depth", "priority",
+            )
+        )
         if skip_seen:
-            seen = cat.read_upto("seen", wave - 1)
+            # upto ``wave`` (not wave-1): a prior inject at this same slot
+            # already wrote its tagged seen delta — include it in the anti-join
+            seen = cat.read_upto("seen", wave)
             if seen is not None:
                 arts = arts.join(
                     seen.select("canonical_hash").distinct(), "canonical_hash", "left_anti"
                 )
-        f = f.filter(F.col("kind") == "listing").unionByName(arts)
         cols = [fld.name for fld in SCH.FRONTIER.fields]
-        f = f.select(*cols).cache()
+        f = f.filter(F.col("kind") == "listing").select(*cols).unionByName(
+            arts.select(*cols)
+        ).cache()
         n = f.count()
         if n > 0:
-            # localCheckpoint() before overwriting a dir that feeds the plan
-            if cat.has("frontier", wave):
-                existing = cat.read_wave("frontier", wave).localCheckpoint()
-                out = existing.select(*cols).unionByName(f)
-            else:
-                out = f
-            cat.write("frontier", wave, out, self.cfg.write_parts)
+            # tagged appends: never overwrite the slot's other dirs, and
+            # crash recovery keeps tags while dropping plain in-wave debris
+            cat.write_tagged("frontier", wave, f, self.cfg.write_parts)
             # injected article urls enter seen (and the bloom — a seen entry
             # missing from the bloom would be a bloom false negative, letting
             # a later duplicate skip the exact anti-join) immediately
@@ -601,21 +625,15 @@ class WaveCrawl:
                 "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
             ).localCheckpoint()
             if not new_seen.isEmpty():
-                delta = new_seen
-                if cat.has("seen", wave):
-                    delta = cat.read_wave("seen", wave).localCheckpoint().unionByName(delta)
-                cat.write("seen", wave, delta, self.cfg.write_parts)
+                cat.write_tagged("seen", wave, new_seen, self.cfg.write_parts)
                 if self.cfg.use_bloom:
-                    bw = cat.latest_wave_of("bloom", wave)
-                    base = (
-                        cat.read_wave("bloom", bw).localCheckpoint()
-                        if bw is not None
-                        else None
-                    )
+                    base = cat.read_latest_state("bloom", wave)
+                    if base is not None:
+                        base = base.localCheckpoint()
                     merged = self.bloom_state.update(
                         base, new_seen.select("canonical_hash"), self.spark
                     )
-                    cat.write("bloom", wave, merged, self.cfg.write_parts)
+                    cat.write_tagged("bloom", wave, merged, self.cfg.write_parts)
         f.unpersist()
         return n
 
@@ -626,13 +644,50 @@ class WaveCrawl:
     def articles_df(self) -> DataFrame:
         """All article records with the materialized crawl_order rank.
 
-        NOTE: the global-order window is a verification-time convenience
-        (single-task sort); at cluster scale derive crawl_order with
-        repartitionByRange + per-partition offsets (same key, no hot task).
+        Distributed global rank — no single-task window: range-partition by
+        the crawl key, rank within each (sorted) partition in one Arrow pass,
+        then add per-partition offsets from a tiny counts aggregate.  The only
+        driver-side state is #partitions rows.
         """
+        key = ["wave", "host", "type_id", "page_no", "link_index"]
         df = self.cat.read_upto("articles", self.cat.last_wave()).drop("spans")
-        w = Window.orderBy("wave", "host", "type_id", "page_no", "link_index")
-        return df.withColumn("crawl_order", F.row_number().over(w) - 1)
+        n_parts = max(self.spark.sparkContext.defaultParallelism, 1)
+        ranged = (
+            df.repartitionByRange(n_parts, *[F.col(k) for k in key])
+            .sortWithinPartitions(*key)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(ranged.schema.fields) + [StructField("_lrk", LongType())]
+        )
+
+        def add_local_rank(batches):
+            i = 0
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["_lrk"] = range(i, i + len(pdf))
+                i += len(pdf)
+                yield pdf
+
+        # persisted: the offsets aggregate and the final projection must see
+        # the SAME materialized partitioning — re-executing the range shuffle
+        # can sample different bounds and misalign _pid between the two passes
+        # (observed as duplicate crawl_order values)
+        ranked = ranged.mapInPandas(add_local_rank, out_schema).persist()
+        counts = ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        counts.sort(key=lambda r: r["_pid"])
+        offsets, run = [], 0
+        for r in counts:
+            offsets.append((r["_pid"], run))
+            run += r["n"]
+        off_df = self.spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        return (
+            ranked.join(F.broadcast(off_df), "_pid")
+            .withColumn("crawl_order", (F.col("_off") + F.col("_lrk")).cast("int"))
+            .drop("_pid", "_lrk", "_off")
+        )
 
     def documents_df(self) -> DataFrame:
         """Span documents (input_hint shape) — a pruned projection of the

@@ -43,6 +43,31 @@ def test_cuckoo_crawl_equals_oracle(spark, tmp_path):
     assert [r["url"] for r in arts] == oracle.crawl_order
 
 
+def test_cuckoo_evict_nonmember_is_safe(spark, tmp_path):
+    """Evicting URLs that were never crawled must not create cuckoo false
+    negatives: a non-member delete whose 16-bit fingerprint collides with a
+    resident entry would evict that entry and let its URL re-crawl as a
+    duplicate.  After a bulk non-member evict, every truly-seen URL must
+    still be dropped by inject's seen filter."""
+    web = hs.default_web(scale=0.5)
+    wc = WaveCrawl(
+        spark, web, str(tmp_path / "cat"),
+        CrawlRunConfig(batch_pages=4, bloom_buckets=4, seen_filter="cuckoo",
+                       bloom_expected_per_bucket=8192),
+    )
+    wc.run()
+    seen_urls = sorted(r["canonical_url"] for r in wc.seen_df().collect())
+    # many never-seen URLs: plenty of fingerprint/bucket collision chances
+    ghosts = [hs.article_url(web, web.hosts[0].host, 0, 50_000 + i)
+              for i in range(200)]
+    assert wc.evict_seen(ghosts) == 0  # none were present
+
+    from tests.test_recrawl_inject import _req_rows
+
+    # every real member must still be recognized as seen
+    assert wc.inject_requests(_req_rows(spark, seen_urls)) == 0
+
+
 def test_cuckoo_evict_recrawl(spark, tmp_path):
     web = hs.default_web(scale=0.5)
     wc = WaveCrawl(

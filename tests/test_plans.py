@@ -77,3 +77,43 @@ def test_crawl_candidate_join_broadcasts_hosts(spark):
         .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
     )
     assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_robots_filter_many_hosts_broadcast(spark):
+    """robots_filter at web-scale host counts: one broadcast join, not an
+    O(#hosts) predicate chain (expression-tree analysis blowup)."""
+    from crawler_news_spark.operators.politeness import robots_filter
+
+    rules = {f"h{i}.vn": (f"/private{i}", "/tmp") for i in range(1000)}
+    rows = [(f"h{i}.vn", f"https://h{i}.vn/private{i}/x.html") for i in range(500)]
+    rows += [(f"h{i}.vn", f"https://h{i}.vn/public/x.html") for i in range(1000)]
+    df = spark.createDataFrame(rows, "host string, canonical_url string")
+    out = robots_filter(df, rules)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    got = out.collect()
+    assert len(got) == 1000
+    assert all("/public/" in r["canonical_url"] for r in got)
+
+
+def test_articles_crawl_order_is_distributed(spark, tmp_path_factory):
+    """crawl_order must not come from a single-partition global sort window."""
+    from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+    from crawler_news_spark.sources import hostsim as hs
+
+    root = str(tmp_path_factory.mktemp("cat_plan"))
+    wc = WaveCrawl(spark, hs.default_web(scale=0.3), root,
+                   CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    wc.run()
+    df = wc.articles_df()
+    plan = plan_of(df)
+    assert "Exchange SinglePartition" not in plan
+    # the range shuffle lives inside the persisted rank subplan (surfaces as
+    # an InMemoryTableScan in the final plan)
+    assert "RangePartitioning" in plan or "InMemoryTableScan" in plan
+    # and the rank is a correct dense 0..n-1 enumeration in key order
+    rows = df.orderBy("crawl_order").collect()
+    assert [r["crawl_order"] for r in rows] == list(range(len(rows)))
+    keys = [(r["wave"], r["host"], r["type_id"], r["page_no"], r["link_index"])
+            for r in rows]
+    assert keys == sorted(keys)

@@ -58,6 +58,24 @@ def test_evict_then_inject_recrawls(spark, crawled):
             assert r[f] == first[r["url"]][f]
 
 
+def test_inject_same_url_twice_crawls_once(spark, crawled):
+    """Two micro-batches (separate inject calls) and an in-batch duplicate
+    carrying the same unseen URL must yield exactly one frontier row and one
+    article (the second call anti-joins against the first call's tagged
+    seen delta; in-batch dups collapse by keep-first)."""
+    wc = crawled
+    web = wc.web
+    spec = web.hosts[0]
+    url = hs.article_url(web, spec.host, 0, 20_000)
+    # in-batch duplicate: same URL at two link indexes -> one injected row
+    assert wc.inject_requests(_req_rows(spark, [url, url])) == 1
+    # second micro-batch with the same URL before any run -> dropped
+    assert wc.inject_requests(_req_rows(spark, [url])) == 0
+    wc.run(resume=True)
+    got = wc.articles_df().filter(F.col("url") == url).collect()
+    assert len(got) == 1
+
+
 def test_inject_unseen_article(spark, crawled):
     wc = crawled
     # an article URL the crawl never discovered (deep index)

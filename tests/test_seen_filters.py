@@ -86,3 +86,23 @@ def test_cuckoo_roundtrip_bytes():
         cf.insert(kx * 2654435761)
     cf2 = CuckooFilter.from_bytes(cf.to_bytes(), capacity=256)
     assert all(cf2.contains(kx * 2654435761) for kx in range(100))
+
+
+def test_cuckoo_state_n_items_accumulates(spark):
+    """(bucket, n_items) metadata: seeds from the prior table row, counts
+    only successful inserts/deletes (a non-member delete is a no-op)."""
+    from crawler_news_spark.operators.seen import CuckooState
+
+    st = CuckooState(n_buckets=2, capacity_per_bucket=1024)
+    h1 = spark.createDataFrame([(i,) for i in range(10)], "canonical_hash long")
+    h2 = spark.createDataFrame([(i,) for i in range(10, 16)], "canonical_hash long")
+    t1 = st.update(None, h1, spark).localCheckpoint()
+    assert sum(r["n_items"] for r in t1.collect()) == 10
+    t2 = st.update(t1, h2).localCheckpoint()
+    assert sum(r["n_items"] for r in t2.collect()) == 16  # accumulated, not 6
+    # deleting members decrements; deleting non-members is a counted no-op
+    dele = spark.createDataFrame([(0,), (1,), (999_999,)], "canonical_hash long")
+    t3 = st.delete(t2, dele).localCheckpoint()
+    total = sum(r["n_items"] for r in t3.collect())
+    assert total == 14 or total == 15  # 999999 may fp-collide; never < 14
+    assert all(r["n_items"] >= 0 for r in t3.collect())

@@ -127,6 +127,37 @@ def test_bloom_no_false_negatives_e2e(engine):
     assert all("n_bloom_fp" in w for w in m["waves"].values())
 
 
+def test_resume_crash_mid_wave(spark, web, oracle, tmp_path_factory):
+    """Crash AFTER a wave's snapshot writes but BEFORE its commit: the
+    crashed wave's uncommitted seen delta must not anti-join the re-run
+    wave's own discoveries out of the frontier (exact-resume guarantee)."""
+    root = str(tmp_path_factory.mktemp("cat_crash"))
+    cfg = CrawlRunConfig(batch_pages=BATCH, bloom_buckets=4)
+
+    class CrashBeforeCommit(WaveCrawl):
+        def _run_wave(self, wave, frontier, clock_base):
+            if wave == 1:
+                def boom(w, stats):  # all wave-1 writes landed; commit didn't
+                    raise KeyboardInterrupt
+                self.cat.commit_wave = boom
+            return super()._run_wave(wave, frontier, clock_base)
+
+    wc1 = CrashBeforeCommit(spark, web, root, cfg)
+    with pytest.raises(KeyboardInterrupt):
+        wc1.run()
+    assert wc1.cat.last_wave() == 0  # wave 1 never committed
+    # crash debris exists at wave 1 (this is the scenario under test):
+    # the uncommitted seen delta that used to poison the resume anti-join
+    import os
+    assert os.path.exists(os.path.join(root, "seen", "wave-1"))
+
+    wc2 = WaveCrawl(spark, web, root, cfg)
+    wc2.run(resume=True)
+    arts = wc2.articles_df().orderBy("crawl_order").collect()
+    assert [r["url"] for r in arts] == oracle.crawl_order
+    assert {r["canonical_url"] for r in wc2.seen_df().collect()} == oracle.seen
+
+
 def test_resume_exact(spark, web, oracle, tmp_path_factory):
     """Kill after wave 1, resume, final state identical to a full run."""
     root = str(tmp_path_factory.mktemp("cat_resume"))
