@@ -29,16 +29,28 @@ from __future__ import annotations
 import re
 
 _RE_TITLE = re.compile(r'<h1 class="title-detail">(.*?)</h1>')
+_RE_TITLE_ATTR = re.compile(r'<h1 class="news-title" title="(.*?)">')
 _RE_DESC = re.compile(r'<p class="description">(.*?)</p>')
 _RE_DATE = re.compile(r'<span class="date">(.*?)</span>')
 _RE_AUTHOR = re.compile(r'<div class="author-name">(.*?)</div>')
+_RE_AUTHOR_SPAN = re.compile(r'<span class="author-name">(.*?)</span>')
+# style-attribute author match (thuonghieuvaphapluat.py:135:
+# find('p', style=lambda s: s and 'float: right' in s))
+_RE_STYLE_AUTHOR = re.compile(r'<p style="[^"]*float: right[^"]*">(.*?)</p>')
 _RE_OG_IMAGE = re.compile(r'<meta property="og:image" content="(.*?)"/>')
+_RE_IMG_CONTENT = re.compile(r'<img class="img-content" src="(.*?)"/>')
 _RE_BODY = re.compile(r'<article class="content-body">(.*?)</article>', re.S)
+# decompose set (baotintuc.py:188-190: select("script, style, .share"))
+_RE_DECOMPOSE = re.compile(
+    r'<div class="share">.*?</div>|<script>.*?</script>|<style>.*?</style>', re.S
+)
 _RE_WALK = re.compile(
-    r'<p class="Normal">(.*?)</p>'
-    r'|<img class="lazy" data-src="(.*?)"/>'
-    r'|<img src="(.*?)"/>'
-    r'|<img data-original="(.*?)"/>',
+    r'<p class="Normal">(?P<para>.*?)</p>'
+    r'|<figure class="image"><img src="(?P<fig>.*?)"/></figure>'
+    r'|<picture><source data-srcset="(?P<srcset>.*?)"/><img class="pic"/></picture>'
+    r'|<img class="lazy" data-src="(?P<lazy>.*?)"/>'
+    r'|<img src="(?P<src>.*?)"/>'
+    r'|<img data-original="(?P<orig>.*?)"/>',
     re.S,
 )
 _RE_COMMENT = re.compile(r'<div class="comment_content">(.*?)</div>')
@@ -46,21 +58,28 @@ _RE_ANCHOR = re.compile(r'<h3 class="title-news"><a href="(.*?)">')
 
 
 def _walk_body(html: str) -> list[tuple[str, str]]:
-    """In-order (kind, value) walk of the article body: text paras + img refs."""
+    """In-order (kind, value) walk of the article body: text paras + img refs.
+
+    Image forms: lazy data-src (vnx/dtr), plain src (btt/qdn/thp/bdt),
+    figure-wrapped src (btu), data-original and picture>source data-srcset
+    first-candidate (vnn, vietnamnet.py:153-157).
+    """
     m = _RE_BODY.search(html)
     if not m:
         return []
     out: list[tuple[str, str]] = []
     for mm in _RE_WALK.finditer(m.group(1)):
-        para, lazy, src, orig = mm.groups()
-        if para is not None:
-            out.append(("text", para))
-        elif lazy is not None:
-            out.append(("image", lazy))
-        elif src is not None:
-            out.append(("image", src))
+        g = mm.groupdict()
+        if g["para"] is not None:
+            out.append(("text", g["para"]))
+        elif g["srcset"] is not None:
+            first = g["srcset"].split(",")[0].strip().split()[0].strip()
+            out.append(("image", first))
         else:
-            out.append(("image", orig))
+            for key in ("fig", "lazy", "src", "orig"):
+                if g[key] is not None:
+                    out.append(("image", g[key]))
+                    break
     return out
 
 
@@ -96,9 +115,14 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     Output keys: title, description, content, pub_date_raw, author, imageUrl,
     comments, contentImageUrls, spans.
     """
-    title = _first(_RE_TITLE, html)
+    # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141)
+    title = _first(_RE_TITLE_ATTR if profile == "bdt" else _RE_TITLE, html)
     if title is None:
         return None  # null-title drop (base_crawler.py:53-56) — all profiles
+    if profile == "btu":
+        # decompose script/style/.share before any content extraction
+        # (baotintuc.py:188-190)
+        html = _RE_DECOMPOSE.sub("", html)
     desc = _first(_RE_DESC, html)
     date_raw = _first(_RE_DATE, html)
     hero = _first(_RE_OG_IMAGE, html)
@@ -171,6 +195,10 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             images.append(base_url + v if v.startswith("/") else v)
         author = _first(_RE_AUTHOR, html)
         comments = [c.strip() for c in _RE_COMMENT.findall(html)]
+        # hero fallback chain (vietnamnet.py:136-143): img.img-content first,
+        # then og:image, then the sentinel
+        inline_hero = _first(_RE_IMG_CONTENT, html)
+        hero = inline_hero if inline_hero else hero
         return {
             "title": title,
             "description": desc,
@@ -203,6 +231,70 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "content": "\n".join(paras),
             "pub_date_raw": date_raw.strip() if date_raw else None,
             "author": author,
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "span_texts": paras,
+            "spans": make_spans(paras, images),
+        }
+
+    if profile == "btu":
+        # decompose-then-get_text family (baotintuc.py:185-191; same shape in
+        # baoxaydung.py:146, tapchigiaoduc.py:128, baodantoc.py:181): share/
+        # script blocks were stripped above, remaining text joins with "\n";
+        # images come only from figure.image wrappers (baotintuc.py:193-199)
+        paras = [v.strip() for k, v in walk if k == "text" and v.strip()]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR, html)
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else None,
+            "content": "\n".join(paras),
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author.strip() if author else None,
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "span_texts": paras,
+            "spans": make_spans(paras, images),
+        }
+
+    if profile == "thp":
+        # style-attribute author + excluded-by-prefix paragraphs
+        # (thuonghieuvaphapluat.py:125-139; style-attr match also in
+        # baohaiquanvietnam.py:119).  Reference accumulates text + '\n' per
+        # kept paragraph, so content carries a trailing newline.
+        kept = [
+            v.strip() for k, v in walk
+            if k == "text" and v.strip() and not v.strip().startswith("Văn Nam")
+        ]
+        content = "".join(t + "\n" for t in kept)
+        author = _first(_RE_STYLE_AUTHOR, html)
+        images = [v for k, v in walk if k == "image"]
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else None,
+            "content": content,
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author.strip() if author else None,
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "span_texts": kept,
+            "spans": make_spans(kept, images),
+        }
+
+    if profile == "bdt":
+        # attribute-title family (baodantoc.py:141) + span.author-name
+        paras = [v.strip() for k, v in walk if k == "text" and v.strip()]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR_SPAN, html)
+        return {
+            "title": title.strip(),
+            "description": desc.strip() if desc else None,
+            "content": "\n".join(paras),
+            "pub_date_raw": date_raw.strip() if date_raw else None,
+            "author": author.strip() if author else None,
             "imageUrl": None,
             "comments": None,
             "contentImageUrls": images,

@@ -81,13 +81,24 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
 
 def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 3,
-                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_df: int = 1000) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared fingerprints.
 
-    explode -> self-join on fingerprint (shuffle join on a high-cardinality
-    key, not O(n^2)) -> group count filter."""
+    explode -> document-frequency cap -> self-join on fingerprint (shuffle
+    join on a high-cardinality key, not O(n^2)) -> group count filter.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    before the self-join: a boilerplate gram shared by k docs contributes
+    k^2/2 join rows — one hot fingerprint across 10^6 docs is a 5*10^11-row
+    key.  Capped fingerprints carry no near-dup signal anyway (they are
+    corpus-wide boilerplate, not document identity)."""
     fp = winnow_fingerprints(docs, text_col, id_col)
     ex = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
+    ex = (
+        ex.join(dfreq.filter(F.col("_df") > max_df).select("fp"), "fp", "left_anti")
+    )
     a = ex.select(F.col(id_col).alias("doc_a"), "fp")
     b = ex.select(F.col(id_col).alias("doc_b"), "fp")
     return (

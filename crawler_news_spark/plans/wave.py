@@ -695,6 +695,40 @@ class WaveCrawl:
         df = self.cat.read_upto("articles", self.cat.last_wave())
         return df.select(F.col("url").alias("doc_id"), "spans")
 
+    def images_df(self) -> DataFrame:
+        """Images metadata table — the reference's per-article image docs
+        {image_url, local_path, file_size, createdAt} (vnexpress.py:162-167,
+        utils/mongodb_utils.py:47-52), derived as a projection of the
+        articles snapshots (content images exploded in document order).
+
+        n_bytes is a deterministic synthetic size: the byte transfer itself
+        is stubbed (S7 partial — no network in the sandbox), exactly like the
+        media_ref spans; everything queryable about the record is real.
+        """
+        from ..functions.paths import image_local_path
+
+        df = self.cat.read_upto("articles", self.cat.last_wave())
+        img = df.select(
+            F.col("url").alias("article_url"),
+            "host",
+            "article_type",
+            "publishedDate",
+            "createdAt",
+            F.posexplode("contentImageUrls").alias("img_index", "image_url"),
+        )
+        return img.select(
+            "article_url",
+            "host",
+            "img_index",
+            "image_url",
+            image_local_path(
+                F.lit("/mnt/data/news"), F.col("host"), F.col("article_type"),
+                F.col("publishedDate"), F.col("image_url"),
+            ).alias("local_path"),
+            (F.pmod(F.xxhash64("image_url"), F.lit(480_000)) + 20_000).alias("n_bytes"),
+            "createdAt",
+        )
+
     def seen_df(self) -> DataFrame:
         return self.cat.read_upto("seen", self.cat.last_wave())
 

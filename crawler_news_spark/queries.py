@@ -187,6 +187,65 @@ SQL_IMAGE_PATH = r"""
 """
 
 
+def q_images_metadata(spark, sf_dir):
+    """Images metadata docs (vnexpress.py:162-167 shape: image_url,
+    local_path, file size, createdAt) — one row per derived image."""
+    from .functions.paths import image_local_path
+
+    docs = load(spark, sf_dir, "documents")
+    n = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    d = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    m = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    date = F.concat(d, F.lit("/"), m, F.lit("/2024, 06:49 (GMT+7)"))
+    img = docs.select(
+        "doc_id", "source", "lang", date.alias("_date"),
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("img_index"),
+    )
+    url = F.concat(
+        F.lit("https://img.ex/"), F.col("source"), F.lit("/pic-"),
+        F.col("doc_id").cast("string"), F.lit("-"),
+        F.col("img_index").cast("string"), F.lit(".jpg?w=640"),
+    )
+    nb = (F.col("doc_id") * 7919 + F.col("img_index") * 104729) % 480000 + 20000
+    return img.select(
+        "doc_id",
+        "img_index",
+        url.alias("image_url"),
+        image_local_path(
+            F.lit("/mnt/data/news"), F.col("source"),
+            F.concat(F.col("lang"), F.lit("/sub")), F.col("_date"), url,
+        ).alias("local_path"),
+        nb.cast("long").alias("n_bytes"),
+        F.lit("2026-01-01T00:00:00+00:00").alias("createdAt"),
+    )
+
+
+SQL_IMAGES_METADATA = """
+    WITH im AS (
+      SELECT doc_id, source, lang, CAST(i AS INT) AS img_index
+      FROM documents, unnest(generate_series(0, CAST(doc_id % 4 AS INT) - 1)) t(i)
+    )
+    SELECT doc_id, img_index,
+           concat('https://img.ex/', source, '/pic-', CAST(doc_id AS VARCHAR),
+                  '-', CAST(img_index AS VARCHAR), '.jpg?w=640') AS image_url,
+           concat_ws('/', '/mnt/data/news', source,
+                     regexp_replace(concat(lang, '/sub'), '/', '-', 'g'),
+                     concat_ws('-',
+                       lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                       lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0'),
+                       '2024'),
+                     concat('pic-', CAST(doc_id AS VARCHAR), '-',
+                            CAST(img_index AS VARCHAR), '.jpg')) AS local_path,
+           CAST((doc_id * 7919 + img_index * 104729) % 480000 + 20000 AS BIGINT) AS n_bytes,
+           '2026-01-01T00:00:00+00:00' AS createdAt
+    FROM im
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per customer by price (window row_number pattern)."""
     o = load(spark, sf_dir, "orders")
@@ -636,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md5_prefix": q_md5_prefix,
         "datasource_extract": q_datasource_extract,
         "image_path": q_image_path,
+        "images_metadata": q_images_metadata,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "sessionize": q_sessionize,
@@ -673,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "md5_prefix": SQL_MD5_PREFIX,
         "datasource_extract": SQL_DATASOURCE,
         "image_path": SQL_IMAGE_PATH,
+        "images_metadata": SQL_IMAGES_METADATA,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "pricing_summary": SQL_PRICING,
         "sessionize": SQL_SESSIONIZE,

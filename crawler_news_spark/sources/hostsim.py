@@ -42,7 +42,7 @@ def stable_hash(s: str, seed: int = 0) -> int:
 # Web configuration
 # ---------------------------------------------------------------------------
 
-PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn")
+PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
@@ -50,9 +50,15 @@ PAGINATION = {
     "btt": "brsr-offset",  # https://{h}/{slug}?BRSR={20(n-1)} congthuong.py:198
     "vnn": "page0",  # https://{h}/{slug}-page{n-1}           vietnamnet.py:220
     "qdn": "aspx-page",  # https://{h}/{slug}.aspx?Page={n}   dangcongsan.py:188
+    "btu": "loadmore",  # https://{h}/{slug}/trang-{n}/loadmore  baothanhtra.py:210
+    "thp": "cond-first",  # p1: /{slug}/, else /{slug}/p{n}   taichinhdoanhnghiep.py:182-184
+    "bdt": "trang-htm",  # baodantoc paginates like the dantri family
 }
 
-CONTENT_JOIN = {"vnx": ",", "dtr": "\n", "btt": " ", "vnn": ",", "qdn": "\n"}  # §2.3 P3
+CONTENT_JOIN = {  # §2.3 P3
+    "vnx": ",", "dtr": "\n", "btt": " ", "vnn": ",", "qdn": "\n",
+    "btu": "\n", "thp": "\n", "bdt": "\n",
+}
 
 _WORDS = (
     "tin tức thời sự kinh doanh thế giới giáo dục thể thao công nghệ đời sống "
@@ -146,6 +152,12 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  max_depth=1, one_shot=True, crawl_delay_s=1.0),
         HostSpec("qdn1.example.vn", "qdn", n_types=s(3), links_per_page=5,
                  max_depth=s(4), crawl_delay_s=1.0),
+        HostSpec("btu1.example.vn", "btu", n_types=s(3), links_per_page=5,
+                 max_depth=s(3), crawl_delay_s=1.0),
+        HostSpec("thp1.example.vn", "thp", n_types=s(2), links_per_page=4,
+                 max_depth=s(3), crawl_delay_s=1.0),
+        HostSpec("bdt1.example.vn", "bdt", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
 
@@ -208,6 +220,13 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         return f"https://{host}/{slug}-page{page - 1}"
     if kind == "aspx-page":
         return f"https://{host}/{slug}.aspx?Page={page}"
+    if kind == "loadmore":
+        return f"https://{host}/{slug}/trang-{page}/loadmore"
+    if kind == "cond-first":
+        # taichinhdoanhnghiep.py:182-184: bare slug dir for page 1 only
+        if page == 1:
+            return f"https://{host}/{slug}/"
+        return f"https://{host}/{slug}/p{page}"
     raise ValueError(kind)
 
 
@@ -345,6 +364,13 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
         "date_raw": date_raw,
         "comments": comments,
         "hero_image": f"https://img.{host}/hero/{h % 10**7}.jpg",
+        # vnn hero fallback chain (vietnamnet.py:136-143): half the articles
+        # carry an inline img.img-content that outranks og:image
+        "hero_inline": (
+            f"https://{host}/hero-inline/{h % 10**7}.jpg"
+            if spec.profile == "vnn" and h % 2 == 0
+            else None
+        ),
     }
 
 
@@ -369,30 +395,66 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
         filler = _sentence(cfg, f"boiler|{url}|{b}", 20)
         parts.append(f'<div class="nav-item"><span>{filler}</span><a href="#m{b}">menu</a></div>')
     if f["title"] is not None:
-        parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
+        if p == "bdt":
+            # title travels in the ATTRIBUTE, not the element text
+            # (baodantoc.py:141: soup.find('h1', class_='news-title')['title'])
+            parts.append(f'<h1 class="news-title" title="{f["title"]}">Chi tiết bài viết</h1>')
+        else:
+            parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
     parts.append(f'<span class="date">{f["date_raw"]}</span>')
     parts.append(f'<p class="description">{f["description"]}</p>')
-    if p in ("dtr", "btt", "vnn"):
+    if p in ("dtr", "btt", "vnn", "btu"):
         parts.append(f'<div class="author-name">{f["author"]}</div>')
+    if p == "bdt":
+        # span form (baodantoc.py:144: soup.find('span', class_='author-name'))
+        parts.append(f'<span class="author-name">{f["author"]}</span>')
+    if p == "vnn" and f["hero_inline"]:
+        parts.append(f'<img class="img-content" src="{f["hero_inline"]}"/>')
     parts.append('<article class="content-body">')
     img_by_pos: dict[int, list[str]] = {}
     for pos, src in f["images"]:
         img_by_pos.setdefault(pos, []).append(src)
+    h_doc = stable_hash(f"decoy|{f['canonical_url']}", cfg.seed)
     for i, para in enumerate(f["paragraphs"]):
         parts.append(f'<p class="Normal">{para}</p>')
+        if p == "btu" and i == 0:
+            # share/script cruft the parser must decompose before get_text
+            # (baotintuc.py:188-190: content_div.select("script, style, .share"))
+            filler = _sentence(cfg, f"share|{f['canonical_url']}", 6)
+            parts.append(
+                f'<div class="share"><p class="Normal">Chia sẻ: {filler}</p>'
+                f'<img src="https://img.{host}/share-decoy.jpg"/></div>'
+            )
+            parts.append(f'<script>var t = "{filler}";</script>')
         for src in img_by_pos.get(i, []):
             if p in ("vnx", "dtr"):
                 parts.append(f'<img class="lazy" data-src="{src}"/>')
-            elif p == "btt":
+            elif p in ("btt", "qdn", "thp", "bdt"):
                 parts.append(f'<img src="{src}"/>')
-            elif p == "qdn":
-                parts.append(f'<img src="{src}"/>')
-            else:  # vnn: half the images rendered relative, parser absolutizes
+            elif p == "btu":
+                # images live in figure.image wrappers (baotintuc.py:193-199)
+                parts.append(f'<figure class="image"><img src="{src}"/></figure>')
+            else:  # vnn: relative / picture-srcset / data-original variants
                 h_img = stable_hash(f"rel|{src}", cfg.seed)
-                if h_img % 2 == 0 and src.startswith(f"https://{host}/"):
+                if h_img % 3 == 0 and src.startswith(f"https://{host}/"):
                     parts.append(f'<img src="{src[len(f"https://{host}"):]}"/>')
+                elif h_img % 3 == 1:
+                    # picture>source data-srcset, first candidate wins
+                    # (vietnamnet.py:153-157)
+                    parts.append(
+                        f'<picture><source data-srcset="{src} 1x, {src}?w=1200 2x"/>'
+                        f'<img class="pic"/></picture>'
+                    )
                 else:
                     parts.append(f'<img data-original="{src}"/>')
+    if p == "thp":
+        # excluded-by-prefix decoy paragraph (thuonghieuvaphapluat.py:131-133
+        # drops paragraphs starting with the correspondent marker)
+        if h_doc % 2 == 0:
+            filler = _sentence(cfg, f"vn|{f['canonical_url']}", 5)
+            parts.append(f'<p class="Normal">Văn Nam - {filler}</p>')
+        # author rides a style-attribute match (thuonghieuvaphapluat.py:135)
+        parts.append(f'<p style="text-align: right; float: right;">{f["author"]}</p>')
     if p == "vnx":
         # author travels as the last content paragraph (vnexpress.py:190-193)
         parts.append(f'<p class="Normal">{f["author"]}</p>')
@@ -457,6 +519,15 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
         return int(m.group(1)), int(m.group(2)) + 1
     if kind == "aspx-page":
         m = re.search(r"-(\d+)\.aspx\?Page=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "loadmore":
+        m = re.search(r"-(\d+)/trang-(\d+)/loadmore$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "cond-first":
+        m = re.search(r"-(\d+)/$", path)
+        if m:
+            return int(m.group(1)), 1
+        m = re.search(r"-(\d+)/p(\d+)$", path)
         return int(m.group(1)), int(m.group(2))
     raise ValueError(url)
 

@@ -170,3 +170,28 @@ def test_keep_first_and_dup_groups(spark, planted_docs):
     assert sorted(r["doc_id"] for r in kept) == [0, 3]
     dups = DD.duplicate_groups(planted_docs, ["source"], "doc_id").collect()
     assert sorted(r["dup_id"] for r in dups) == [1, 2, 4]
+
+
+def test_winnow_df_cap_bounds_boilerplate(spark):
+    """A corpus-wide boilerplate sentence must not become a hot join key:
+    with max_df below the corpus size, boilerplate-only pairs vanish while
+    true near-dups survive; with max_df above it, output is unchanged."""
+    from crawler_news_spark.operators import winnow as WN
+
+    boiler = "copyright example news corporation all rights reserved contact us"
+    rows = [(i, f"unique document number {i} about topic {i % 7} " * 3 + boiler, "en", "s")
+            for i in range(40)]
+    # one true near-dup pair sharing real content, not just boilerplate
+    rows.append((100, rows[0][1], "en", "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                WN.winnow_overlap_pairs(docs, min_shared=3, max_df=10_000).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              WN.winnow_overlap_pairs(docs, min_shared=3, max_df=20).collect()}
+    assert (0, 100) in uncapped and (0, 100) in capped  # true dup survives
+    assert len(capped) < len(uncapped)  # boilerplate-only pairs culled
+    # cap above max document frequency -> identical output
+    same = {(r["doc_a"], r["doc_b"]) for r in
+            WN.winnow_overlap_pairs(docs, min_shared=3, max_df=99_999).collect()}
+    assert same == uncapped

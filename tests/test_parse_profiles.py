@@ -115,3 +115,100 @@ def test_listing_parse_order_and_terminal():
     assert links == ["/a/1.html", "https://h/b/2.html"] and not term
     links2, term2 = parse_listing("<html><body><!--one-shot-->" + html[12:])
     assert term2
+
+
+def test_btu_decompose_and_figure_images():
+    """share/script blocks are decomposed before get_text; images come only
+    from figure.image wrappers (baotintuc.py:185-199)."""
+    html = (
+        '<html><head><meta property="og:image" content="https://x/h.jpg"/></head><body>'
+        '<h1 class="title-detail">Tít</h1><span class="date">1/2/2023 10:00</span>'
+        '<p class="description">Mô tả</p><div class="author-name">Tác Giả</div>'
+        '<article class="content-body">'
+        '<p class="Normal">Đoạn một.</p>'
+        '<div class="share"><p class="Normal">Chia sẻ decoy</p>'
+        '<img src="https://img/share-decoy.jpg"/></div>'
+        '<script>var t = "noise";</script>'
+        '<figure class="image"><img src="https://img/a.jpg"/></figure>'
+        '<p class="Normal">Đoạn hai.</p>'
+        "</article></body></html>"
+    )
+    rec = parse_article(html, "btu", "https://h")
+    assert rec["content"] == "Đoạn một.\nĐoạn hai."  # decoy text decomposed
+    assert rec["contentImageUrls"] == ["https://img/a.jpg"]  # decoy img gone
+    assert rec["author"] == "Tác Giả"
+
+
+def test_thp_style_author_and_prefix_exclusion():
+    """Author via style-attr match; paragraphs starting with the marker are
+    excluded; content keeps the reference's trailing newline
+    (thuonghieuvaphapluat.py:125-139)."""
+    html = (
+        '<html><body><h1 class="title-detail">Tít</h1>'
+        '<span class="date">1/2/2023 10:00</span><p class="description">Mô tả</p>'
+        '<article class="content-body">'
+        '<p class="Normal">Nội dung chính.</p>'
+        '<p class="Normal">Văn Nam - thông tin tòa soạn</p>'
+        '<p style="text-align: right; float: right;">Phóng Viên X</p>'
+        "</article></body></html>"
+    )
+    rec = parse_article(html, "thp", "https://h")
+    assert rec["content"] == "Nội dung chính.\n"
+    assert rec["author"] == "Phóng Viên X"
+    assert rec["span_texts"] == ["Nội dung chính."]
+
+
+def test_bdt_title_from_attribute():
+    """Title from the h1 attribute, author from span.author-name
+    (baodantoc.py:141-144); missing attribute-title drops the page."""
+    html = (
+        '<html><body><h1 class="news-title" title="Tiêu đề thật">Chi tiết</h1>'
+        '<span class="date">1/2/2023 10:00</span><p class="description">Mô tả</p>'
+        '<span class="author-name">Bút Danh</span>'
+        '<article class="content-body"><p class="Normal">Đoạn.</p></article>'
+        "</body></html>"
+    )
+    rec = parse_article(html, "bdt", "https://h")
+    assert rec["title"] == "Tiêu đề thật"  # not the visible element text
+    assert rec["author"] == "Bút Danh"
+    # no attribute-form h1 -> dropped even with a title-detail h1 present
+    assert parse_article(html.replace('news-title" title="Tiêu đề thật"',
+                                      'title-detail"'), "bdt", "https://h") is None
+
+
+def test_vnn_hero_chain_and_srcset():
+    """img.img-content outranks og:image; picture>source data-srcset yields
+    its first candidate (vietnamnet.py:136-157)."""
+    base = (
+        '<html><head><meta property="og:image" content="https://img/og.jpg"/></head>'
+        '<body><h1 class="title-detail">Tít</h1><span class="date">d</span>'
+        '<p class="description">Mô tả</p>{hero}'
+        '<article class="content-body"><p class="Normal">Đoạn.</p>'
+        '<picture><source data-srcset="https://img/pic1.jpg 1x, https://img/pic2.jpg 2x"/>'
+        '<img class="pic"/></picture>'
+        "</article></body></html>"
+    )
+    with_inline = base.format(hero='<img class="img-content" src="https://img/inline.jpg"/>')
+    rec = parse_article(with_inline, "vnn", "https://h")
+    assert rec["imageUrl"] == "https://img/inline.jpg"
+    assert rec["contentImageUrls"] == ["https://img/pic1.jpg"]  # first candidate
+    rec2 = parse_article(base.format(hero=""), "vnn", "https://h")
+    assert rec2["imageUrl"] == "https://img/og.jpg"  # falls back to og:image
+
+
+def test_new_pagination_urls_roundtrip():
+    """loadmore (baothanhtra.py:210) and conditional first page
+    (taichinhdoanhnghiep.py:182-184) invert exactly."""
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    for host, pages in (("btu1.example.vn", (1, 2, 5)), ("thp1.example.vn", (1, 2, 5))):
+        for t in (0, 1):
+            for p in pages:
+                u = hs.listing_url(web, host, t, p)
+                assert hs.parse_listing_url(web, host, u) == (t, p), u
+    assert hs.listing_url(web, "btu1.example.vn", 0, 3).endswith("/trang-3/loadmore")
+    u1 = hs.listing_url(web, "thp1.example.vn", 0, 1)
+    u2 = hs.listing_url(web, "thp1.example.vn", 0, 2)
+    assert u1.endswith("/") and "/p" not in u1.rsplit("/", 2)[-2]
+    assert u2.endswith("/p2")

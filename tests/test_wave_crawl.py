@@ -181,3 +181,22 @@ def test_resume_exact(spark, web, oracle, tmp_path_factory):
     assert [r["url"] for r in arts] == oracle.crawl_order
     got = {r["canonical_url"] for r in wc2.seen_df().collect()}
     assert got == oracle.seen
+
+
+def test_images_metadata_table(engine, oracle):
+    """S7/images: one row per content image, reference path shape
+    (vnexpress.py:117-128 / :162-167), counts match the oracle's records."""
+    rows = engine.images_df().collect()
+    want = sum(len(r["contentImageUrls"]) for r in oracle.articles)
+    assert len(rows) == want and want > 0
+    by_art = {}
+    for r in rows:
+        by_art.setdefault(r["article_url"], []).append(r)
+    for rec in oracle.articles:
+        got = sorted(by_art.get(rec["url"], []), key=lambda r: r["img_index"])
+        assert [r["image_url"] for r in got] == rec["contentImageUrls"]
+        for r in got:
+            assert r["local_path"].startswith("/mnt/data/news/" + r["host"] + "/")
+            base = r["image_url"].split("?")[0].rsplit("/", 1)[1]
+            assert r["local_path"].endswith("/" + base)
+            assert 20_000 <= r["n_bytes"] < 500_000
