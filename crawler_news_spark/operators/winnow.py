@@ -60,8 +60,12 @@ def winnow_py(text: str) -> list[int]:
 
 
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, fingerprints array<long>) via mapInPandas."""
+                        id_col: str = "doc_id", spread: bool = True) -> DataFrame:
+    """(doc_id, fingerprints array<long>) via mapInPandas.
+
+    ``spread`` repartitions the narrow projection first — a single parquet
+    split would otherwise run the whole vUDF on 1-2 tasks (same trap as
+    minhash_signatures)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,9 +79,10 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, fingerprints array<long>"
-    )
+    narrow = docs.select(id_col, text_col)
+    if spread:
+        narrow = narrow.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return narrow.mapInPandas(run, f"{id_col} long, fingerprints array<long>")
 
 
 def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 3,
@@ -94,7 +99,9 @@ def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     key.  Capped fingerprints carry no near-dup signal anyway (they are
     corpus-wide boilerplate, not document identity)."""
     fp = winnow_fingerprints(docs, text_col, id_col)
-    ex = fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    # persisted: the exploded table feeds the df aggregate AND both join
+    # sides — without it the fingerprint vUDF subtree re-executes 3x
+    ex = fp.select(id_col, F.explode("fingerprints").alias("fp")).persist()
     dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
     ex = (
         ex.join(dfreq.filter(F.col("_df") > max_df).select("fp"), "fp", "left_anti")

@@ -103,21 +103,71 @@ class WaveCrawl:
 
     # ------------------------------------------------------------------
     def seed_frontier(self) -> DataFrame:
-        """Wave-0 frontier: listing batch 1 for every (host, type)."""
-        rows = []
-        for spec in self.web.hosts:
-            for t in range(spec.n_types):
-                n = 1 if spec.one_shot else self.cfg.batch_pages
-                for p in range(1, n + 1):
-                    url = hs.listing_url(self.web, spec.host, t, p)
-                    rows.append(
-                        (0, spec.host, "listing", t, p, 0, url, url, 0, 0, 1.0)
-                    )
-        df = self.spark.createDataFrame(
-            rows,
-            "wave int, host string, kind string, type_id int, page_no int, "
-            "link_index int, url string, canonical_url string, "
-            "canonical_hash long, depth int, priority double",
+        """Wave-0 frontier: listing batch 1 for every (host, type).
+
+        Built distributed — the (host, type) taxonomy dim crossed with the
+        page range and the URL synthesized executor-side.  A driver-side
+        Python loop would serialize O(hosts x types x batch) rows through
+        the gateway; at web-scale taxonomies that is the seed bottleneck.
+        """
+        cats = self.spark.createDataFrame(
+            [
+                (s.host, t, hs.type_slug(self.web, s.host, t),
+                 1 if s.one_shot else self.cfg.batch_pages)
+                for s in self.web.hosts
+                for t in range(s.n_types)
+            ],
+            "host string, type_id int, slug string, n_pages int",
+        )
+        url_exprs = []
+        for s in self.web.hosts:
+            kind = "one-shot" if s.one_shot else hs.PAGINATION[s.profile]
+            url_exprs.append((s.host, kind))
+        kind_df = F.broadcast(
+            self.spark.createDataFrame(url_exprs, "host string, pag_kind string")
+        )
+        pg = F.col("page_no").cast("string")
+        brsr = (20 * (F.col("page_no") - 1)).cast("string")
+        pg0 = (F.col("page_no") - 1).cast("string")
+        slug = F.col("slug")
+        base = F.concat(F.lit("https://"), F.col("host"), F.lit("/"), slug)
+        url = (
+            F.when(F.col("pag_kind") == "one-shot", base)
+            .when(F.col("pag_kind") == "suffix-p", F.concat(base, F.lit("-p"), pg))
+            .when(F.col("pag_kind") == "trang-htm",
+                  F.concat(base, F.lit("/trang-"), pg, F.lit(".htm")))
+            .when(F.col("pag_kind") == "brsr-offset",
+                  F.concat(base, F.lit("?BRSR="), brsr))
+            .when(F.col("pag_kind") == "page0", F.concat(base, F.lit("-page"), pg0))
+            .when(F.col("pag_kind") == "aspx-page",
+                  F.concat(base, F.lit(".aspx?Page="), pg))
+            .when(F.col("pag_kind") == "loadmore",
+                  F.concat(base, F.lit("/trang-"), pg, F.lit("/loadmore")))
+            .when(
+                F.col("pag_kind") == "cond-first",
+                F.when(F.col("page_no") == 1, F.concat(base, F.lit("/")))
+                .otherwise(F.concat(base, F.lit("/p"), pg)),
+            )
+        )
+        df = (
+            cats.join(kind_df, "host")
+            .select(
+                "host", "type_id", "slug", "pag_kind",
+                F.explode(F.sequence(F.lit(1), F.col("n_pages"))).alias("page_no"),
+            )
+            .select(
+                F.lit(0).alias("wave"),
+                "host",
+                F.lit("listing").alias("kind"),
+                "type_id",
+                "page_no",
+                F.lit(0).alias("link_index"),
+                url.alias("url"),
+                url.alias("canonical_url"),
+                F.lit(0).cast("long").alias("canonical_hash"),
+                F.lit(0).alias("depth"),
+                F.lit(1.0).alias("priority"),
+            )
         )
         return df.withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
 
