@@ -745,6 +745,44 @@ class WaveCrawl:
         df = self.cat.read_upto("articles", self.cat.last_wave())
         return df.select(F.col("url").alias("doc_id"), "spans")
 
+    def remove_duplicate_articles(self, keys: list[str] | None = None) -> int:
+        """Storage-level keep-first delete against the articles table.
+
+        The reference's remove_record_duplicate.py:25-57 groups records by a
+        key, keeps the first inserted, and DELETEs the rest in place.  Here
+        "first" is crawl order — min (wave, host, type_id, page_no,
+        link_index) per key group — and the delete is a snapshot rewrite:
+        each wave dir is re-written minus its deleted rows (the parquet
+        stand-in for an Iceberg MERGE/DELETE; same call site would issue
+        ``DELETE FROM articles WHERE ...`` on a real catalog).
+
+        Returns the number of deleted rows.
+        """
+        keys = keys or ["url"]
+        cat = self.cat
+        last = cat.last_wave()
+        df = cat.read_upto("articles", last)
+        if df is None:
+            return 0
+        order = F.struct("wave", "host", "type_id", "page_no", "link_index")
+        w = Window.partitionBy(*keys).orderBy(order.asc())
+        marked = df.withColumn("_rn", F.row_number().over(w))
+        dupes = marked.filter(F.col("_rn") > 1).select(
+            "wave", "host", "type_id", "page_no", "link_index"
+        ).localCheckpoint()  # materialize before dirs are rewritten
+        n_del = dupes.count()
+        if n_del == 0:
+            return 0
+        waves_hit = [r["wave"] for r in dupes.select("wave").distinct().collect()]
+        for wv in sorted(waves_hit):
+            snap = cat.read_wave("articles", wv).localCheckpoint()
+            kept = snap.join(
+                dupes, ["wave", "host", "type_id", "page_no", "link_index"],
+                "left_anti",
+            )
+            cat.write("articles", wv, kept)
+        return n_del
+
     def images_df(self) -> DataFrame:
         """Images metadata table — the reference's per-article image docs
         {image_url, local_path, file_size, createdAt} (vnexpress.py:162-167,

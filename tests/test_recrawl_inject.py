@@ -88,3 +88,27 @@ def test_inject_unseen_article(spark, crawled):
     assert len(got) == 1
     # and it is now seen: a second injection is dropped
     assert wc.inject_requests(_req_rows(spark, [url])) == 0
+
+
+def test_remove_duplicate_articles_storage_delete(spark, crawled):
+    """Storage-level keep-first delete (remove_record_duplicate.py:25-57):
+    re-crawled URLs produce duplicate rows; the delete rewrites the affected
+    wave snapshots keeping the earliest crawl of each URL."""
+    wc = crawled
+    before = wc.articles_df().collect()
+    targets = sorted({r["url"] for r in before})[:2]
+    orig_wave = {r["url"]: r["wave"] for r in before if r["url"] in targets}
+    assert wc.evict_seen(targets) == 2
+    assert wc.inject_requests(_req_rows(spark, targets)) == 2
+    wc.run(resume=True)
+    assert wc.articles_df().count() == len(before) + 2  # dups exist
+
+    assert wc.remove_duplicate_articles(["url"]) == 2
+    after = wc.articles_df().collect()
+    assert len(after) == len(before)
+    by_url = {r["url"]: r for r in after}
+    assert len(by_url) == len(after)  # no dup urls remain
+    for u in targets:
+        assert by_url[u]["wave"] == orig_wave[u]  # first crawl kept
+    # idempotent: second pass deletes nothing
+    assert wc.remove_duplicate_articles(["url"]) == 0

@@ -105,3 +105,99 @@ def test_file_stream_intake(spark, categories, tmp_path):
     q.stop()
     kinds = sorted((r["kind"], r["host"]) for r in got)
     assert kinds == [("article", "h2.vn"), ("listing", "h1.vn"), ("listing", "h1.vn")]
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg: streaming result == batch twin on
+    the same rows; the plan actually carries the event-time watermark."""
+    import duckdb
+
+    from crawler_news_spark.streaming.windowed import windowed_event_counts
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_id, user_id, event_type, value, ts "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).df()
+    src_dir = tmp_path / "ev"
+    src_dir.mkdir()
+    rows.to_parquet(str(src_dir / "part-0.parquet"))
+
+    batch = spark.read.parquet(str(src_dir))
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in windowed_event_counts(batch).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src_dir))
+    agg = windowed_event_counts(stream, watermark="30 minutes")
+    assert "eventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString() or \
+           "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_seen_filter_stateful(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup persists across restarts:
+    a URL emitted in micro-batch 1 is dropped when it reappears later."""
+    import json as _json
+
+    from crawler_news_spark.streaming.windowed import (
+        SEEN_OUT_SCHEMA,
+        streaming_seen_filter,
+    )
+
+    src = tmp_path / "req"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def row(h, url, li=0):
+        return {"canonical_hash": h, "host": "h1.vn", "kind": "article",
+                "type_id": 0, "page_no": 1, "link_index": li, "url": url}
+
+    def run_once(qname):
+        stream = spark.readStream.schema(SEEN_OUT_SCHEMA).json(str(src))
+        emitted = []
+
+        def sink(df, epoch_id):
+            emitted.extend(df.collect())
+
+        q = (
+            streaming_seen_filter(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["url"] for r in emitted}
+
+    # batch 1: two urls, one duplicated within the batch
+    write_batch("b1.json", [row(1, "https://h1.vn/a-1000001.html", 0),
+                            row(1, "https://h1.vn/a-1000001.html", 5),
+                            row(2, "https://h1.vn/a-1000002.html", 1)])
+    got1 = run_once("seen1")
+    assert got1 == {"https://h1.vn/a-1000001.html", "https://h1.vn/a-1000002.html"}
+
+    # batch 2 (restart from checkpoint): a repeat of url 1 + one new url
+    write_batch("b2.json", [row(1, "https://h1.vn/a-1000001.html", 9),
+                            row(3, "https://h1.vn/a-1000003.html", 0)])
+    got2 = run_once("seen2")
+    assert got2 == {"https://h1.vn/a-1000003.html"}  # repeat dropped by state
