@@ -77,6 +77,20 @@ class WaveCrawl:
                 SCH.CATEGORIES,
             ).withColumnRenamed("slug", "article_type")
         )
+        # taxonomy dim for executor-side listing-URL synthesis (seed + next
+        # listing batches): (host, type_id, slug, pag_kind, n_seed_pages)
+        self.taxonomy_dim = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (s.host, t, hs.type_slug(web, s.host, t),
+                     "one-shot" if s.one_shot else hs.PAGINATION[s.profile],
+                     1 if s.one_shot else self.cfg.batch_pages)
+                    for s in web.hosts
+                    for t in range(s.n_types)
+                ],
+                "host string, type_id int, slug string, pag_kind string, n_seed_pages int",
+            )
+        )
         if self.cfg.seen_filter == "cuckoo":
             self.bloom_state = S.CuckooState(
                 self.cfg.bloom_buckets, self.cfg.bloom_expected_per_bucket
@@ -110,50 +124,15 @@ class WaveCrawl:
         Python loop would serialize O(hosts x types x batch) rows through
         the gateway; at web-scale taxonomies that is the seed bottleneck.
         """
-        cats = self.spark.createDataFrame(
-            [
-                (s.host, t, hs.type_slug(self.web, s.host, t),
-                 1 if s.one_shot else self.cfg.batch_pages)
-                for s in self.web.hosts
-                for t in range(s.n_types)
-            ],
-            "host string, type_id int, slug string, n_pages int",
-        )
-        url_exprs = []
-        for s in self.web.hosts:
-            kind = "one-shot" if s.one_shot else hs.PAGINATION[s.profile]
-            url_exprs.append((s.host, kind))
-        kind_df = F.broadcast(
-            self.spark.createDataFrame(url_exprs, "host string, pag_kind string")
-        )
-        pg = F.col("page_no").cast("string")
-        brsr = (20 * (F.col("page_no") - 1)).cast("string")
-        pg0 = (F.col("page_no") - 1).cast("string")
-        slug = F.col("slug")
-        base = F.concat(F.lit("https://"), F.col("host"), F.lit("/"), slug)
-        url = (
-            F.when(F.col("pag_kind") == "one-shot", base)
-            .when(F.col("pag_kind") == "suffix-p", F.concat(base, F.lit("-p"), pg))
-            .when(F.col("pag_kind") == "trang-htm",
-                  F.concat(base, F.lit("/trang-"), pg, F.lit(".htm")))
-            .when(F.col("pag_kind") == "brsr-offset",
-                  F.concat(base, F.lit("?BRSR="), brsr))
-            .when(F.col("pag_kind") == "page0", F.concat(base, F.lit("-page"), pg0))
-            .when(F.col("pag_kind") == "aspx-page",
-                  F.concat(base, F.lit(".aspx?Page="), pg))
-            .when(F.col("pag_kind") == "loadmore",
-                  F.concat(base, F.lit("/trang-"), pg, F.lit("/loadmore")))
-            .when(
-                F.col("pag_kind") == "cond-first",
-                F.when(F.col("page_no") == 1, F.concat(base, F.lit("/")))
-                .otherwise(F.concat(base, F.lit("/p"), pg)),
-            )
+        from ..functions.listing_urls import listing_url_expr
+
+        url = listing_url_expr(
+            F.col("host"), F.col("slug"), F.col("pag_kind"), F.col("page_no")
         )
         df = (
-            cats.join(kind_df, "host")
-            .select(
+            self.taxonomy_dim.select(
                 "host", "type_id", "slug", "pag_kind",
-                F.explode(F.sequence(F.lit(1), F.col("n_pages"))).alias("page_no"),
+                F.explode(F.sequence(F.lit(1), F.col("n_seed_pages"))).alias("page_no"),
             )
             .select(
                 F.lit(0).alias("wave"),
@@ -253,7 +232,6 @@ class WaveCrawl:
         bloom_tbl = cat.read_latest_state("bloom", wave)
         n_bloom_fp = 0
         n_new = 0
-        next_listing_rows: list[tuple] = []
         lineage_parts = []
 
         # AQE coalesces the politeness shuffle by its (tiny, skinny-row) size,
@@ -307,8 +285,13 @@ class WaveCrawl:
             new_rows = new_rows.cache()
             n_new = new_rows.count()
 
-            # stop rule + next listing batch
-            stops = (
+            # stop rule + next listing batch — fully distributed: the
+            # continuing (host, type) groups explode their next B pages and
+            # synthesize URLs executor-side (same expression as the seed;
+            # a driver loop here is O(hosts x types x batch) serial rows)
+            from ..functions.listing_urls import listing_url_expr
+
+            live = (
                 parsed_listings.groupBy("host", "type_id")
                 .agg(
                     F.max(
@@ -318,17 +301,37 @@ class WaveCrawl:
                     ).alias("stopped"),
                     F.max("page_no").alias("max_page"),
                 )
-                .collect()
+                .filter(~F.col("stopped"))
             )
-            for r in stops:
-                if r["stopped"]:
-                    continue
-                for p in range(r["max_page"] + 1, r["max_page"] + 1 + cfg.batch_pages):
-                    url = hs.listing_url(web, r["host"], r["type_id"], p)
-                    next_listing_rows.append(
-                        (wave + 1, r["host"], "listing", r["type_id"], p, 0, url, url,
-                         0, wave + 1, 1.0 / (2 + wave))
-                    )
+            nxt_url = listing_url_expr(
+                F.col("host"), F.col("slug"), F.col("pag_kind"), F.col("page_no")
+            )
+            next_listings = (
+                live.join(self.taxonomy_dim.drop("n_seed_pages"), ["host", "type_id"])
+                .select(
+                    "host", "type_id", "slug", "pag_kind",
+                    F.explode(
+                        F.sequence(
+                            F.col("max_page") + 1,
+                            F.col("max_page") + cfg.batch_pages,
+                        )
+                    ).alias("page_no"),
+                )
+                .select(
+                    F.lit(wave + 1).alias("wave"),
+                    "host",
+                    F.lit("listing").alias("kind"),
+                    "type_id",
+                    "page_no",
+                    F.lit(0).alias("link_index"),
+                    nxt_url.alias("url"),
+                    nxt_url.alias("canonical_url"),
+                    canonical_hash_col(nxt_url).alias("canonical_hash"),
+                    F.lit(wave + 1).alias("depth"),
+                    F.lit(1.0 / (2 + wave)).alias("priority"),
+                )
+            )
+            n_listing_next = next_listings.count()
 
             lineage_parts.append(
                 parsed_listings.groupBy("host")
@@ -369,21 +372,22 @@ class WaveCrawl:
             )
         else:
             next_articles = None
+            next_listings = None
+            n_listing_next = 0
 
-        n_next = n_new + len(next_listing_rows) + n_deferred
+        n_next = n_new + n_listing_next + n_deferred
         if n_next > 0:
-            next_listings = spark.createDataFrame(
-                next_listing_rows, frontier.schema
-            ).withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
-            next_frontier = (
-                next_listings.unionByName(next_articles)
-                if next_articles is not None and n_new > 0
-                else next_listings
-            )
+            cols = [f.name for f in frontier.schema.fields]
+            parts_list = []
+            if n_listing_next > 0:
+                parts_list.append(next_listings.select(*cols))
+            if next_articles is not None and n_new > 0:
+                parts_list.append(next_articles.select(*cols))
             if deferred is not None:
-                next_frontier = next_frontier.unionByName(
-                    deferred.select(*[f.name for f in frontier.schema.fields])
-                )
+                parts_list.append(deferred.select(*cols))
+            next_frontier = parts_list[0]
+            for extra in parts_list[1:]:
+                next_frontier = next_frontier.unionByName(extra)
             cat.write("frontier", wave + 1, next_frontier, parts)
         if deferred is not None:
             deferred.unpersist()
