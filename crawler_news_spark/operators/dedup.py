@@ -306,7 +306,8 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized UDF — no SQL twin; pytest-verified vs pure Python)
+# SimHash (vectorized UDF; exact ANSI-SQL twin in queries.py — md5 halves,
+# 64 signed-majority bit sums, band keys rebuilt from sign bits)
 # ---------------------------------------------------------------------------
 
 

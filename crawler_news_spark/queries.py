@@ -556,9 +556,73 @@ SQL_MINHASH_NEAR_DUPS = (
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """vUDF SimHash — no SQL twin (pytest-verified vs pure Python)."""
+    """vUDF SimHash with a full ANSI-SQL oracle (below)."""
     docs = load(spark, sf_dir, "documents")
     return DD.simhash_near_dups(docs, max_hamming=12)
+
+
+def _sql_simhash_near_dups(max_hamming: int = 12) -> str:
+    """DuckDB twin of operators/dedup.py simhash_near_dups.
+
+    Token hash = first 16 hex of md5(token) as (hi32, lo32); per-doc 64
+    signed-majority bit sums; the signed simhash and the four 16-bit band
+    keys are rebuilt from the sign bits (no signed-shift pitfalls); banded
+    self-join + hamming filter.  NB: token-less (empty) documents drop out
+    of the token CTE on the SQL side while Spark assigns them simhash 0 —
+    identical on any corpus without empty documents (the fixtures).
+    """
+    accs = ",\n".join(
+        "    sum(CASE WHEN ({src} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}".format(
+            src="lo" if i < 32 else "hi", b=i % 32, i=i
+        )
+        for i in range(64)
+    )
+    signs = ",\n".join(
+        f"    CASE WHEN a{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s{i}"
+        for i in range(64)
+    )
+    sim_pos = " + ".join(f"s{i} * {1 << i}" for i in range(63))
+    bands = ",\n".join(
+        "    ("
+        + " + ".join(f"s{16 * k + j} * {1 << j}" for j in range(16))
+        + f") AS b{k}"
+        for k in range(4)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM toks
+    ), acc AS (
+      SELECT doc_id,
+{accs}
+      FROM th GROUP BY doc_id
+    ), sgn AS (
+      SELECT doc_id,
+{signs}
+      FROM acc
+    ), sim AS (
+      SELECT doc_id,
+             (CASE WHEN s63 = 1 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END + {sim_pos}) AS simhash,
+{bands}
+      FROM sgn
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups(12)
 
 
 # ---------------------------------------------------------------------------
@@ -747,9 +811,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGS,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,
+        "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "cosine_topk": SIM.sql_cosine_topk(5, 10),
         "embedding_near_dups_exact": SQL_EMB_NEAR_DUPS,
         "media_metadata": SQL_MEDIA_META,
-        # rows-only (non-SQL-expressible): simhash_near_dups, lsh_topk,
-        # embedding_near_dups_lsh, frame_sample, crawl_flagship
+        # rows-only: lsh_topk, ivf_topk (numpy hyperplanes/k-means — not
+        # SQL-expressible), embedding_near_dups_lsh (same), winnow_pairs
+        # (rolling-hash window state), frame_sample (sha1-derived metadata;
+        # DuckDB has no sha1), crawl_flagship (the crawl engine itself —
+        # verified against the pure-Python oracle in pytest instead)
     }
