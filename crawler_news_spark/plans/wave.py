@@ -69,8 +69,9 @@ class WaveCrawl:
             [tuple(r[f.name] for f in SCH.HOSTS.fields) for r in hs.hosts_rows(web)],
             SCH.HOSTS,
         ).cache()
-        self.delays = {s.host: s.crawl_delay_s for s in web.hosts}
-        self.robots_rules = {s.host: s.robots_disallow for s in web.hosts}
+        # politeness budget + disallow rules come from FETCHED robots.txt
+        # (north_rule), pulled through the same fetch path as every page
+        self.robots_rules, self.delays = self._fetch_robots()
         self.slug_dim = F.broadcast(
             spark.createDataFrame(
                 [(r["host"], r["type_id"], r["slug"]) for r in hs.categories_rows(web)],
@@ -98,6 +99,44 @@ class WaveCrawl:
         else:
             m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
             self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
+
+    def _fetch_robots(self) -> tuple[dict, dict]:
+        """Fetch + parse robots.txt for every host, distributed through the
+        same fetch path the crawler uses (north_rule: "robots.txt fetch +
+        crawl-delay enforced").  Returns (host -> disallow prefixes,
+        host -> crawl_delay_s) — #hosts rows, the same O(#hosts) driver
+        footprint the politeness clock already carries.
+        """
+        import pandas as pd
+
+        web = self.web
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for h in pdf["host"]:
+                    txt = hs.fetch(web, f"https://{h}/robots.txt")
+                    dis: list[str] = []
+                    delay = 1.0
+                    for line in txt.splitlines():
+                        if line.startswith("Disallow: "):
+                            dis.append(line[len("Disallow: "):])
+                        elif line.startswith("Crawl-delay: "):
+                            delay = float(line.split(": ", 1)[1])
+                    rows.append((h, dis, delay))
+                yield pd.DataFrame(
+                    rows, columns=["host", "disallow", "crawl_delay_s"]
+                )
+
+        out = (
+            self.hosts_df.select("host")
+            .mapInPandas(run, "host string, disallow array<string>, crawl_delay_s double")
+            .collect()
+        )
+        return (
+            {r["host"]: tuple(r["disallow"]) for r in out},
+            {r["host"]: r["crawl_delay_s"] for r in out},
+        )
 
     RECORDS_DDL = (
         "dataSource string, url string, publishedDate string, author string, "

@@ -480,6 +480,8 @@ def fetch(cfg: WebConfig, url: str) -> str:
     host = url.split("/")[2] if url.startswith("http") else None
     if host is None:
         raise ValueError(f"relative URL reached fetch: {url}")
+    if url.endswith("/robots.txt"):
+        return robots_txt(cfg, host)
     if is_article_url(url):
         return render_article_html(cfg, host, url)
     # listing: recover (type_id, page) from the URL

@@ -200,3 +200,20 @@ def test_images_metadata_table(engine, oracle):
             base = r["image_url"].split("?")[0].rsplit("/", 1)[1]
             assert r["local_path"].endswith("/" + base)
             assert 20_000 <= r["n_bytes"] < 500_000
+
+
+def test_robots_rules_come_from_fetched_robots_txt(spark, web):
+    """north_rule: the engine's disallow rules + crawl delays are parsed
+    from robots.txt fetched through the same fetch path as every page —
+    and round-trip the config exactly."""
+    from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+    import tempfile
+
+    wc = WaveCrawl(spark, web, tempfile.mkdtemp(prefix="robots_"),
+                   CrawlRunConfig(batch_pages=BATCH))
+    assert wc.robots_rules == {s.host: s.robots_disallow for s in web.hosts}
+    assert wc.delays == {s.host: s.crawl_delay_s for s in web.hosts}
+    # the fetch path really serves robots.txt
+    txt = hs.fetch(web, f"https://{web.hosts[0].host}/robots.txt")
+    assert txt.startswith("User-agent: *")
+    assert any(l.startswith("Crawl-delay: ") for l in txt.splitlines())
