@@ -104,6 +104,33 @@ SQL_DATE_RANGE = """
 """
 
 
+def q_date_range_typed(spark, sf_dir):
+    """S9 date-range read, the scale-correct form: a typed timestamp
+    predicate that reaches the parquet scan as a pushed filter (the
+    string-compare variant above replicates the reference's trap and
+    deliberately defeats pushdown — both forms are part of the surface)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-21 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+        )
+    )
+
+
+SQL_DATE_RANGE_TYPED = """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+"""
+
+
 def q_group_count(spark, sf_dir):
     """A4/R4 grouping with integerized money math."""
     ev = load(spark, sf_dir, "events")
@@ -754,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "exact_dedup": q_exact_dedup,
         "date_range": q_date_range,
+        "date_range_typed": q_date_range_typed,
         "group_count": q_group_count,
         "category_filter": q_category_filter,
         "md5_prefix": q_md5_prefix,
@@ -792,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_groups": SQL_DUP_GROUPS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "date_range": SQL_DATE_RANGE,
+        "date_range_typed": SQL_DATE_RANGE_TYPED,
         "group_count": SQL_GROUP_COUNT,
         "category_filter": SQL_CATEGORY_FILTER,
         "md5_prefix": SQL_MD5_PREFIX,

@@ -117,3 +117,13 @@ def test_articles_crawl_order_is_distributed(spark, tmp_path_factory):
     keys = [(r["wave"], r["host"], r["type_id"], r["page_no"], r["link_index"])
             for r in rows]
     assert keys == sorted(keys)
+
+
+def test_date_range_typed_pushes_down(spark):
+    """The typed timestamp range predicate must reach the parquet scan."""
+    from crawler_news_spark.queries import q_date_range_typed
+
+    plan = plan_of(q_date_range_typed(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    seg = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "GreaterThanOrEqual(ts" in seg and "LessThan(ts" in seg
