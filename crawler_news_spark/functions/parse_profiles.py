@@ -37,6 +37,10 @@ _RE_AUTHOR_SPAN = re.compile(r'<span class="author-name">(.*?)</span>')
 # style-attribute author match (thuonghieuvaphapluat.py:135:
 # find('p', style=lambda s: s and 'float: right' in s))
 _RE_STYLE_AUTHOR = re.compile(r'<p style="[^"]*float: right[^"]*">(.*?)</p>')
+# nested-box author chain (vietnamnet.py:169-178)
+_RE_VNN_AUTHOR_BOX = re.compile(r'<div class="article-detail-author">(.*?)</div>', re.S)
+_RE_NAME_SPAN = re.compile(r'<span class="name">(.*?)</span>')
+_RE_FIRST_A = re.compile(r"<a[^>]*>(.*?)</a>")
 _RE_OG_IMAGE = re.compile(r'<meta property="og:image" content="(.*?)"/>')
 _RE_IMG_CONTENT = re.compile(r'<img class="img-content" src="(.*?)"/>')
 _RE_BODY = re.compile(r'<article class="content-body">(.*?)</article>', re.S)
@@ -193,7 +197,12 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             if k != "image" or v.startswith("data:image"):
                 continue
             images.append(base_url + v if v.startswith("/") else v)
-        author = _first(_RE_AUTHOR, html)
+        # nested-box author chain (vietnamnet.py:169-178):
+        # div.article-detail-author > span.name, else its first <a>, else ""
+        author = None
+        box = _first(_RE_VNN_AUTHOR_BOX, html)
+        if box is not None:
+            author = _first(_RE_NAME_SPAN, box) or _first(_RE_FIRST_A, box)
         comments = [c.strip() for c in _RE_COMMENT.findall(html)]
         # hero fallback chain (vietnamnet.py:136-143): img.img-content first,
         # then og:image, then the sentinel

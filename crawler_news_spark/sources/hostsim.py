@@ -403,8 +403,23 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
             parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
     parts.append(f'<span class="date">{f["date_raw"]}</span>')
     parts.append(f'<p class="description">{f["description"]}</p>')
-    if p in ("dtr", "btt", "vnn", "btu"):
+    if p in ("dtr", "btt", "btu"):
         parts.append(f'<div class="author-name">{f["author"]}</div>')
+    if p == "vnn":
+        # nested-box author chain (vietnamnet.py:169-178): span.name, else
+        # the first <a> in the box, else no box at all (author = "")
+        h_a = stable_hash(f"vnnauth|{f['canonical_url']}", cfg.seed)
+        if h_a % 3 == 0:
+            parts.append(
+                f'<div class="article-detail-author"><span class="name">'
+                f'{f["author"]}</span></div>'
+            )
+        elif h_a % 3 == 1:
+            parts.append(
+                f'<div class="article-detail-author"><a href="#profile">'
+                f'{f["author"]}</a></div>'
+            )
+        # else: no author box — parser must default to ""
     if p == "bdt":
         # span form (baodantoc.py:144: soup.find('span', class_='author-name'))
         parts.append(f'<span class="author-name">{f["author"]}</span>')

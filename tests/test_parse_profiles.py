@@ -212,3 +212,23 @@ def test_new_pagination_urls_roundtrip():
     u2 = hs.listing_url(web, "thp1.example.vn", 0, 2)
     assert u1.endswith("/") and "/p" not in u1.rsplit("/", 2)[-2]
     assert u2.endswith("/p2")
+
+
+def test_vnn_author_nested_box_chain():
+    """div.article-detail-author > span.name, else first <a>, else ""
+    (vietnamnet.py:169-178)."""
+    tpl = (
+        '<html><head><meta property="og:image" content="https://x/h.jpg"/></head>'
+        '<body><h1 class="title-detail">Tít</h1><span class="date">d</span>'
+        '<p class="description">Mô tả</p>{box}'
+        '<article class="content-body"><p class="Normal">Đoạn.</p></article>'
+        "</body></html>"
+    )
+    span = tpl.format(box='<div class="article-detail-author">'
+                          '<span class="name">Tác Giả Span</span></div>')
+    assert parse_article(span, "vnn", "https://h")["author"] == "Tác Giả Span"
+    link = tpl.format(box='<div class="article-detail-author">'
+                          '<a href="#p">Tác Giả Link</a></div>')
+    assert parse_article(link, "vnn", "https://h")["author"] == "Tác Giả Link"
+    none = tpl.format(box="")
+    assert parse_article(none, "vnn", "https://h")["author"] == ""
