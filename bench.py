@@ -54,7 +54,10 @@ BENCH_QUERIES = [
     "pivot_events",
     "topk_per_group",
     "date_range",
+    "date_range_typed",
     "group_count",
+    "top_revenue_nations",
+    "order_priority_count",
 ]
 
 

@@ -434,6 +434,60 @@ SQL_PIVOT = """
 """
 
 
+def q_top_revenue_nations(spark, sf_dir):
+    """TPC-H Q5-shaped multi-join: revenue per nation — the dims (customer
+    -> nation -> region) broadcast; only the fact table shuffles for the
+    final aggregate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.withColumn("price_cents", cents)
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum("price_cents").alias("revenue_c"))
+    )
+
+
+SQL_TOP_REVENUE_NATIONS = """
+    SELECT r.r_name, n.n_name, count(*) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
+def q_order_priority_count(spark, sf_dir):
+    """TPC-H Q4-shaped existence semi-join: orders with at least one
+    returned lineitem, counted per order priority."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li.select("l_orderkey").distinct(),
+               o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
@@ -794,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
+        "top_revenue_nations": q_top_revenue_nations,
+        "order_priority_count": q_order_priority_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -833,6 +889,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": SQL_WINDOWED,
         "rollup_revenue": SQL_ROLLUP,
         "pivot_events": SQL_PIVOT,
+        "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
+        "order_priority_count": SQL_ORDER_PRIORITY,
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
