@@ -788,16 +788,19 @@ class WaveCrawl:
         df = self.cat.read_upto("articles", self.cat.last_wave())
         return df.select(F.col("url").alias("doc_id"), "spans")
 
-    def remove_duplicate_articles(self, keys: list[str] | None = None) -> int:
-        """Storage-level keep-first delete against the articles table.
+    def remove_duplicate_articles(self, keys: list[str] | None = None,
+                                  keep: str = "first") -> int:
+        """Storage-level keep-first/keep-last delete against the articles table.
 
         The reference's remove_record_duplicate.py:25-57 groups records by a
         key, keeps the first inserted, and DELETEs the rest in place.  Here
         "first" is crawl order — min (wave, host, type_id, page_no,
-        link_index) per key group — and the delete is a snapshot rewrite:
-        each wave dir is re-written minus its deleted rows (the parquet
-        stand-in for an Iceberg MERGE/DELETE; same call site would issue
-        ``DELETE FROM articles WHERE ...`` on a real catalog).
+        link_index) per key group (``keep="last"`` keeps the most recent
+        crawl instead — replace semantics after a re-crawl) — and the delete
+        is a snapshot rewrite: each wave dir is re-written minus its deleted
+        rows (the parquet stand-in for an Iceberg MERGE/DELETE; same call
+        site would issue ``DELETE FROM articles WHERE ...`` on a real
+        catalog).
 
         Returns the number of deleted rows.
         """
@@ -808,7 +811,9 @@ class WaveCrawl:
         if df is None:
             return 0
         order = F.struct("wave", "host", "type_id", "page_no", "link_index")
-        w = Window.partitionBy(*keys).orderBy(order.asc())
+        w = Window.partitionBy(*keys).orderBy(
+            order.asc() if keep == "first" else order.desc()
+        )
         marked = df.withColumn("_rn", F.row_number().over(w))
         dupes = marked.filter(F.col("_rn") > 1).select(
             "wave", "host", "type_id", "page_no", "link_index"

@@ -112,3 +112,18 @@ def test_remove_duplicate_articles_storage_delete(spark, crawled):
         assert by_url[u]["wave"] == orig_wave[u]  # first crawl kept
     # idempotent: second pass deletes nothing
     assert wc.remove_duplicate_articles(["url"]) == 0
+
+
+def test_remove_duplicates_keep_last(spark, crawled):
+    """keep='last' retains the most recent crawl (replace semantics)."""
+    wc = crawled
+    before = wc.articles_df().collect()
+    targets = sorted({r["url"] for r in before})[4:6]
+    orig_wave = {r["url"]: r["wave"] for r in before if r["url"] in targets}
+    assert wc.evict_seen(targets) == 2
+    assert wc.inject_requests(_req_rows(spark, targets)) == 2
+    wc.run(resume=True)
+    assert wc.remove_duplicate_articles(["url"], keep="last") == 2
+    after = {r["url"]: r for r in wc.articles_df().collect()}
+    for u in targets:
+        assert after[u]["wave"] > orig_wave[u]  # the NEW crawl kept
