@@ -16,11 +16,12 @@ two levels:
 
 1. rank *within* ``(host, kind, type_id)`` — many small window partitions,
    parallelism scales with categories, no hot task;
-2. add a per-``(host, kind, type_id)`` cumulative offset, computed from the
-   tiny counts aggregate (#hosts x #types rows) and broadcast-joined back.
+2. add a per-``(host, kind, type_id)`` cumulative offset, computed as a
+   distributed window over the tiny counts aggregate and broadcast-joined
+   back (the window runs over group rows, #types per host, never URL rows).
 
-This is exact (offsets follow the same key order the windows use) and the
-only whole-host serialization is the O(#hosts x #types) driver aggregate.
+This is exact (offsets follow the same key order the windows use); the only
+driver-side state is the O(#hosts) per-host clock + kind totals.
 """
 
 from __future__ import annotations
@@ -48,29 +49,37 @@ def schedule_wave(
         "kind_rank", F.when(F.col("kind") == "listing", 0).otherwise(1)
     )
 
-    # (2) tiny counts aggregate -> per-group offsets, ordered by the crawl key
-    counts = (
-        df.groupBy("host", "kind_rank", "type_id")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    # (2) per-group offsets computed DISTRIBUTED: cumulative count over the
+    # tiny (host, kind, type) aggregate — the window partitions are per host
+    # but over group rows (#types per host), never URL rows, so no hot task.
+    # Only O(#hosts) rows (per-host/kind totals for the virtual clock and the
+    # wave-loop branch decisions) ever reach the driver — at a web-scale
+    # taxonomy the old O(#hosts x #types) offsets collect was the bottleneck.
+    counts_df = df.groupBy("host", "kind_rank", "type_id").agg(
+        F.count("*").alias("n")
     )
-    counts.sort(key=lambda r: (r["host"], r["kind_rank"], r["type_id"]))
-    offsets: dict[tuple, int] = {}
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("kind_rank", "type_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset_df = counts_df.withColumn(
+        "grp_offset", F.coalesce(F.sum("n").over(w_off), F.lit(0))
+    ).drop("n")
+
+    host_stats = (
+        counts_df.groupBy("host", "kind_rank").agg(F.sum("n").alias("n")).collect()
+    )
     running: dict[str, int] = {}
     totals = {"listing": 0, "article": 0, "by_host": {}}
-    for r in counts:
-        offsets[(r["host"], r["kind_rank"], r["type_id"])] = running.get(r["host"], 0)
-        running[r["host"]] = running.get(r["host"], 0) + r["n"]
+    for r in host_stats:
         kind = "listing" if r["kind_rank"] == 0 else "article"
         totals[kind] += r["n"]
         hk = totals["by_host"].setdefault(r["host"], {"listing": 0, "article": 0})
         hk[kind] += r["n"]
+        running[r["host"]] = running.get(r["host"], 0) + r["n"]
 
     spark = frontier_wave.sparkSession
-    offset_df = spark.createDataFrame(
-        [(h, kr, t, o) for (h, kr, t), o in offsets.items()],
-        "host string, kind_rank int, type_id int, grp_offset long",
-    )
     delay_df = spark.createDataFrame(
         [(h, delays[h], clock_base.get(h, 0.0)) for h in running],
         "host string, crawl_delay_s double, clock0 double",
