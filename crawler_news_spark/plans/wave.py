@@ -72,24 +72,45 @@ class WaveCrawl:
         # politeness budget + disallow rules come from FETCHED robots.txt
         # (north_rule), pulled through the same fetch path as every page
         self.robots_rules, self.delays = self._fetch_robots()
-        self.slug_dim = F.broadcast(
-            spark.createDataFrame(
-                [(r["host"], r["type_id"], r["slug"]) for r in hs.categories_rows(web)],
-                SCH.CATEGORIES,
-            ).withColumnRenamed("slug", "article_type")
-        )
         # taxonomy dim for executor-side listing-URL synthesis (seed + next
-        # listing batches): (host, type_id, slug, pag_kind, n_seed_pages)
+        # listing batches): (host, type_id, slug, pag_kind, n_seed_pages).
+        # Built DISTRIBUTED from the O(#hosts) host metadata — types explode
+        # and slugs compute executor-side, so a web-scale taxonomy (10^5
+        # hosts x 10^2 types) never materializes as driver rows.  Persisted:
+        # it joins into the seed, every wave's next-listing expansion, and
+        # the record slug join.
+        hosts_meta = spark.createDataFrame(
+            [
+                (s.host, s.n_types,
+                 "one-shot" if s.one_shot else hs.PAGINATION[s.profile],
+                 1 if s.one_shot else self.cfg.batch_pages)
+                for s in web.hosts
+            ],
+            "host string, n_types int, pag_kind string, n_seed_pages int",
+        )
+        cats = hosts_meta.select(
+            "host", "pag_kind", "n_seed_pages",
+            F.explode(F.sequence(F.lit(0), F.col("n_types") - 1)).alias("type_id"),
+        )
+
+        def add_slug(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["slug"] = [
+                    hs.type_slug(web, h, int(t))
+                    for h, t in zip(pdf["host"], pdf["type_id"])
+                ]
+                yield pdf[["host", "type_id", "slug", "pag_kind", "n_seed_pages"]]
+
         self.taxonomy_dim = F.broadcast(
-            spark.createDataFrame(
-                [
-                    (s.host, t, hs.type_slug(web, s.host, t),
-                     "one-shot" if s.one_shot else hs.PAGINATION[s.profile],
-                     1 if s.one_shot else self.cfg.batch_pages)
-                    for s in web.hosts
-                    for t in range(s.n_types)
-                ],
+            cats.mapInPandas(
+                add_slug,
                 "host string, type_id int, slug string, pag_kind string, n_seed_pages int",
+            ).persist()
+        )
+        self.slug_dim = F.broadcast(
+            self.taxonomy_dim.select(
+                "host", "type_id", F.col("slug").alias("article_type")
             )
         )
         if self.cfg.seen_filter == "cuckoo":
