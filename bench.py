@@ -121,6 +121,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         n = reg[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
         print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+        # isolate measurements: composite operators persist skinny
+        # intermediates that must outlive their own action; dropping them
+        # between queries keeps executor storage from bleeding into the
+        # NEXT query's time (r02 embedding-family regression root cause)
+        spark.catalog.clearCache()
     return out
 
 

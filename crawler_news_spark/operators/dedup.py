@@ -178,14 +178,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH: docs sharing any band (pair of raw sig values) become
-    candidate pairs (a<b).
+    """Banded LSH: docs sharing any band (all ``rows_per_band`` raw sig
+    values) become candidate pairs (a<b).
 
-    The self-join is keyed on (band, v0, v1) — a shuffle join on a
+    The self-join is keyed on (band, v0..v{r-1}) — a shuffle join on a
     high-cardinality key, NOT an O(n^2) cross join.  Band keys are the raw
-    long signatures; no re-hash needed.
+    long signatures (every signature in the band participates — the LSH
+    band probability s^r depends on it); no re-hash needed.
     """
+    if N_SIGS % rows_per_band:
+        raise ValueError(f"rows_per_band={rows_per_band} must divide N_SIGS={N_SIGS}")
     n_bands = N_SIGS // rows_per_band
+    vcols = [f"v{j}" for j in range(rows_per_band)]
     bands = sigs.select(
         id_col,
         F.explode(
@@ -193,18 +197,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.col(f"sig{b * rows_per_band}").alias("v0"),
-                        F.col(f"sig{b * rows_per_band + 1}").alias("v1"),
+                        *[
+                            F.col(f"sig{b * rows_per_band + j}").alias(f"v{j}")
+                            for j in range(rows_per_band)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.v0", "bb.v1")
+    ).select(id_col, "bb.band", *[f"bb.{v}" for v in vcols])
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(b, ["band", "v0", "v1"])
+        a.join(b, ["band", *vcols])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
@@ -296,11 +302,17 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     The signature table is persisted: the band self-join reads it twice and
     the prune twice more — without a persist the signature vUDF subtree
     re-executes ~5x.  At scale it is n_docs x (id + 8 longs), far smaller
-    than the corpus, and the natural thing to materialize anyway.
+    than the corpus, and the natural thing to materialize anyway.  The
+    persist lives in a named cache slot so a repeat invocation releases the
+    previous generation instead of accumulating executor storage.
     """
-    sigs = minhash_signatures(docs, text_col, id_col).persist()
+    from . import _cache
+
+    sigs = _cache.claim("minhash_near_dups.sigs", minhash_signatures(docs, text_col, id_col))
     pairs = lsh_candidate_pairs(sigs, id_col)
-    pruned = sig_estimate_prune(pairs, sigs, id_col, min_sig_matches).persist()
+    pruned = _cache.claim(
+        "minhash_near_dups.pruned", sig_estimate_prune(pairs, sigs, id_col, min_sig_matches)
+    )
     jac = exact_jaccard_on_pairs(pruned, docs, text_col, id_col)
     return jac.filter(F.col("jaccard_u") >= threshold_u)
 
@@ -395,9 +407,15 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
     spread = docs.select(id_col, F.col(text_col)).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    # persisted: the band self-join reads the hash table twice; without it
-    # the hash vUDF re-executes per side (n_docs x 16 bytes — tiny)
-    withsh = spread.select(id_col, simhash_col(text_col).alias("simhash")).persist()
+    # persisted (named slot — re-invocation releases the old generation):
+    # the band self-join reads the hash table twice; without it the hash
+    # vUDF re-executes per side (n_docs x 16 bytes — tiny)
+    from . import _cache
+
+    withsh = _cache.claim(
+        "simhash_near_dups.hashes",
+        spread.select(id_col, simhash_col(text_col).alias("simhash")),
+    )
     bands = withsh.select(
         id_col,
         "simhash",

@@ -31,8 +31,20 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
     Deterministic: the salt is a hash of the big row's full content, so
     repeated runs produce identical partitioning (no rand() — rand breaks
-    retry/replay determinism).  Result equals ``big.join(small, key, how)``.
+    retry/replay determinism).  Result equals ``big.join(small, key, how)``
+    for big-side-preserving joins only: each big row carries exactly one
+    salt, so inner/left/left_semi/left_anti are exact, but right/full outer
+    would replicate unmatched *small* rows once per salt (small is exploded
+    n_salts times) — those are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins {sorted(allowed)}, "
+            f"not {how!r}: the small side is replicated once per salt, so "
+            "right/full outer would duplicate unmatched small rows"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt.cast("int"))
     s = small.withColumn(

@@ -98,10 +98,15 @@ def winnow_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     k^2/2 join rows — one hot fingerprint across 10^6 docs is a 5*10^11-row
     key.  Capped fingerprints carry no near-dup signal anyway (they are
     corpus-wide boilerplate, not document identity)."""
+    from . import _cache
+
     fp = winnow_fingerprints(docs, text_col, id_col)
-    # persisted: the exploded table feeds the df aggregate AND both join
-    # sides — without it the fingerprint vUDF subtree re-executes 3x
-    ex = fp.select(id_col, F.explode("fingerprints").alias("fp")).persist()
+    # persisted (named slot — re-invocation releases the old generation):
+    # the exploded table feeds the df aggregate AND both join sides —
+    # without it the fingerprint vUDF subtree re-executes 3x
+    ex = _cache.claim(
+        "winnow_overlap_pairs.ex", fp.select(id_col, F.explode("fingerprints").alias("fp"))
+    )
     dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
     ex = (
         ex.join(dfreq.filter(F.col("_df") > max_df).select("fp"), "fp", "left_anti")

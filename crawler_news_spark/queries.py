@@ -648,9 +648,9 @@ def _sql_simhash_near_dups(max_hamming: int = 12) -> str:
     Token hash = first 16 hex of md5(token) as (hi32, lo32); per-doc 64
     signed-majority bit sums; the signed simhash and the four 16-bit band
     keys are rebuilt from the sign bits (no signed-shift pitfalls); banded
-    self-join + hamming filter.  NB: token-less (empty) documents drop out
-    of the token CTE on the SQL side while Spark assigns them simhash 0 —
-    identical on any corpus without empty documents (the fixtures).
+    self-join + hamming filter.  Token-less (empty) documents are unioned
+    back with simhash 0 / all-zero bands, matching Spark's assignment, so
+    the twin holds even on corpora with empty documents.
     """
     accs = ",\n".join(
         "    sum(CASE WHEN ({src} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}".format(
@@ -669,6 +669,20 @@ def _sql_simhash_near_dups(max_hamming: int = 12) -> str:
         + f") AS b{k}"
         for k in range(4)
     )
+    # token-less (empty/whitespace) documents never reach the token CTE;
+    # Spark assigns them simhash 0 with all-zero bands — union them back so
+    # two empty docs band-match identically on both engines
+    empty_docs = """
+    , sim2 AS (
+      SELECT doc_id, simhash, b0, b1, b2, b3 FROM sim
+      UNION ALL
+      SELECT d.doc_id, CAST(0 AS BIGINT) AS simhash,
+             CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+             CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM sim)
+    )
+"""
     return f"""
     WITH toks AS (
       SELECT doc_id,
@@ -693,10 +707,10 @@ def _sql_simhash_near_dups(max_hamming: int = 12) -> str:
                    ELSE CAST(0 AS BIGINT) END + {sim_pos}) AS simhash,
 {bands}
       FROM sgn
-    )
+    ){empty_docs}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sim a JOIN sim b
+    FROM sim2 a JOIN sim2 b
       ON a.doc_id < b.doc_id
      AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}

@@ -55,24 +55,37 @@ SEEN_OUT_SCHEMA = (
 )
 
 
+_DEDUP_SORT = ["type_id", "page_no", "link_index", "host", "url"]
+_DEDUP_COLS = ["canonical_hash", "host", "kind", "type_id",
+               "page_no", "link_index", "url"]
+
+
 def _dedup_group(key, pdfs, state: GroupState):
     """Emit the group's first-ever row; afterwards the state marker drops
-    every later occurrence (across micro-batches)."""
+    every later occurrence (across micro-batches).
+
+    A group larger than one Arrow record batch arrives as several chunks, so
+    the per-chunk minimum is accumulated across ALL chunks before emitting —
+    a chunk-local pick could emit a row that is not the global min of the
+    micro-batch (matching the batch path's min(struct) semantics requires
+    the global one).
+    """
     first = None
     if state.exists:
         for _ in pdfs:  # consume the iterator (contract), emit nothing
             pass
     else:
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                # keep-first inside the batch too: order by the crawl key
-                pdf = pdf.sort_values(
-                    ["type_id", "page_no", "link_index", "host", "url"]
+            if not len(pdf):
+                continue
+            # keep-first inside the batch too: order by the crawl key
+            cand = pdf.sort_values(_DEDUP_SORT).iloc[[0]][_DEDUP_COLS]
+            if first is None:
+                first = cand
+            else:
+                first = (
+                    pd.concat([first, cand]).sort_values(_DEDUP_SORT).iloc[[0]]
                 )
-                first = pdf.iloc[[0]][
-                    ["canonical_hash", "host", "kind", "type_id",
-                     "page_no", "link_index", "url"]
-                ]
         state.update((True,))
     if first is not None:
         yield first
