@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "ann_recall",
     "embedding_near_dups_lsh",
     "media_metadata",
     "pricing_summary",

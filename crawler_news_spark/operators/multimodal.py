@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
-    "doc_id long, media_kind string, n_bytes long, sha1 string, "
+    "doc_id long, media_kind string, n_bytes long, content_md5 string, "
     "width int, height int, n_frames int"
 )
 
@@ -44,8 +44,10 @@ def decode_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
 
     real_codecs=True is the production path (PIL/ffmpeg) — unavailable in
     this container, so it raises; the stub path derives deterministic
-    pseudo-metadata from the payload bytes (sha1-seeded), keeping schema,
-    batching and partitioning behavior identical to the real kernel.
+    pseudo-metadata from the payload bytes (md5-seeded: each dimension uses
+    its own 32-bit hex chunk, so a plain-SQL engine can reproduce it with
+    BIGINT arithmetic), keeping schema, batching and partitioning behavior
+    identical to the real kernel.
     """
     if real_codecs:
         raise NotImplementedError(
@@ -55,23 +57,22 @@ def decode_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = len(pdf)
-            n_bytes, sha1s, widths, heights, frames = [], [], [], [], []
+            n_bytes, md5s, widths, heights, frames = [], [], [], [], []
             for b in pdf["media_bytes"]:
                 raw = bytes(b)
-                d = hashlib.sha1(raw).digest()
-                h = int.from_bytes(d[:8], "big")
+                hx = hashlib.md5(raw).hexdigest()
+                h1, h2, h3 = (int(hx[k : k + 8], 16) for k in (0, 8, 16))
                 n_bytes.append(len(raw))
-                sha1s.append(d.hex())
-                widths.append(16 + h % 1920)
-                heights.append(16 + (h >> 16) % 1080)
-                frames.append(1 + (h >> 32) % 240)
+                md5s.append(hx)
+                widths.append(16 + h2 % 1920)
+                heights.append(16 + h3 % 1080)
+                frames.append(1 + h1 % 240)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_kind": pdf["media_kind"],
                     "n_bytes": n_bytes,
-                    "sha1": sha1s,
+                    "content_md5": md5s,
                     "width": widths,
                     "height": heights,
                     "n_frames": frames,

@@ -2,27 +2,39 @@
 
 - :func:`cosine_topk` — brute-force exact top-k, built-in expressions only
   (zip_with/aggregate dot product): the correctness baseline, with an exact
-  DuckDB oracle (list_cosine_similarity).
+  DuckDB oracle (list_cosine_similarity).  Norms are computed once per row
+  (not per pair) — same IEEE result, ~1/3 the fold work.
 - :func:`lsh_bucket_topk` — random-hyperplane LSH variant: the scale path.
-  Plane matrix is a small deterministic numpy array broadcast to executors;
-  sign-bit bucketing happens in one Arrow-batched pass, then only same-bucket
-  (or neighboring-bucket) pairs are scored.  Recall vs brute force is
-  pytest-verified.
+  Plane weights are md5-derived integers and the sign-bit dot products run
+  on round(1e6*x) quantized vectors, so bucketing is EXACT integer
+  arithmetic that any engine reproduces bit-for-bit (the DuckDB twins in
+  this module re-derive the planes from the same md5 strings — no float
+  sum-order hazards, no literal tables).  Bucketing itself is pure
+  whole-stage-codegen expressions (no Python workers).
+- :func:`ivf_topk` — IVF ANN with a distributed integer k-means coarse
+  quantizer: md5-ordered pivot seeding, integer-dot assignment, exact
+  floor-division centroid updates.  Every step is deterministic and
+  SQL-expressible; the only driver state is the (n_clusters x dim) centroid
+  matrix.
 - :func:`embedding_near_dups` — near-duplicate pairs above a cosine
   threshold via the same LSH bucketing.
 
 All cosine outputs are micro-unit integerized for cross-engine comparison.
+Reference parity: the reference engine has no vector search; this family is
+the training-data-pipeline extension mandated by SURVEY.md §2 (LLM ops).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import hashlib
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+QUANT = 1_000_000  # fixed-point scale for integer dot products
+PLANE_RANGE = 1000  # plane weights uniform in [-1000, 1000]
 
 
 def _dot(a, b):
@@ -41,6 +53,15 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _quantize(col):
+    """round(x * 1e6) per element as BIGINT — floor(x*1e6 + 0.5) exactly, the
+    same double ops DuckDB's twin applies, so both engines get identical ints."""
+    return F.transform(col, lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"))
+
+
+SQL_QUANTIZE = "list_transform({e}, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))"
+
+
 def cosine_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -51,18 +72,25 @@ def cosine_topk(
     """Exact top-k neighbors for the first ``n_queries`` ids (broadcast side).
 
     The query side is tiny -> broadcast hash join, no shuffle of the corpus;
-    the corpus scan + dot products stay in whole-stage codegen.
+    the corpus scan + dot products stay in whole-stage codegen.  Each side's
+    norm is computed once in its projection — dot/(qn*cn) is bitwise the
+    old per-pair dot/(norm*norm), at a third of the array-fold work.
     """
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe")
-    )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"))
+    ).withColumn("qn", _norm(F.col("qe")))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce")
+    ).withColumn("cn", _norm(F.col("ce")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim_u",
-            F.floor(cosine_sim_col(F.col("qe"), F.col("ce")) * 1e6 + F.lit(0.5)).cast("long"),
+            F.floor(
+                _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")) * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("neighbor_id"))
@@ -93,13 +121,40 @@ def sql_cosine_topk(n_queries: int = 5, k: int = 10) -> str:
 
 
 # ---------------------------------------------------------------------------
-# LSH (random hyperplanes) — the 100 TB path
+# LSH (random hyperplanes, integer arithmetic) — the 100 TB path
 # ---------------------------------------------------------------------------
 
 
+def plane_weight(seed: int, p: int, d: int) -> int:
+    """Deterministic pseudo-random plane weight in [-PLANE_RANGE, PLANE_RANGE]:
+    first 32 md5 bits of 'plane:{seed}:{p}:{d}' mod 2001, centered.  The
+    DuckDB twin computes the very same md5 string — both engines derive the
+    hyperplanes independently, nothing is sampled or shipped."""
+    h = int(hashlib.md5(f"plane:{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+    return h % (2 * PLANE_RANGE + 1) - PLANE_RANGE
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    """(n_planes x dim) integer plane matrix (md5-derived, see plane_weight)."""
+    return np.array(
+        [[plane_weight(seed, p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.int64,
+    )
+
+
+SQL_PLANE_W = (
+    "CAST(concat('0x', substr(md5('plane:{seed}:' || CAST(p AS VARCHAR) || ':' "
+    "|| CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % {m} - {r}"
+)
+
+
+def _sql_planes(dim: int, n_planes: int, seed: int) -> str:
+    w = SQL_PLANE_W.format(seed=seed, m=2 * PLANE_RANGE + 1, r=PLANE_RANGE)
+    return f"""
+      SELECT CAST(p AS INT) AS p, CAST(d AS INT) AS d, {w} AS w
+      FROM generate_series(0, {n_planes - 1}) pp(p),
+           generate_series(1, {dim}) dd(d)
+    """
 
 
 def add_lsh_bucket(
@@ -108,23 +163,49 @@ def add_lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-bit bucket per vector: one Arrow-batched matmul pass."""
-    p = planes  # closure-captured; small (n_planes x dim)
+    """Sign-bit bucket per vector — integer dot products of the quantized
+    vector with each integer plane, all in whole-stage codegen (no Python).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            m = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            bits = (m @ p.T) > 0
-            bucket = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(p.shape[0]):
-                bucket |= bits[:, i].astype(np.int64) << i
-            out = pdf[[id_col, vec_col]].copy()
-            out["bucket"] = bucket
-            yield out
-
-    return emb.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, {vec_col} array<float>, bucket long"
+    |dot| <= dim * QUANT_max * PLANE_RANGE ~ 2^40 at dim 64: exact in long.
+    """
+    q = F.col("_q")
+    bucket = None
+    for p in range(planes.shape[0]):
+        pw = F.array(*[F.lit(int(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(q, pw, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+        )
+        bit = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.select(id_col, vec_col)
+        .withColumn("_q", _quantize(_as_double(F.col(vec_col))))
+        .withColumn("bucket", bucket)
+        .drop("_q")
     )
+
+
+def _sql_buckets(emb_cte: str, dim: int, n_planes: int, seed: int) -> str:
+    """CTE block computing (vec_id, e DOUBLE[], bucket) for ``emb_cte`` rows
+    (which must expose vec_id, e) — the DuckDB twin of add_lsh_bucket."""
+    quant = SQL_QUANTIZE.format(e="e")
+    return f"""
+    , qv AS (
+      SELECT vec_id, {quant} AS q FROM {emb_cte}
+    ), qd AS (
+      SELECT vec_id, CAST(d AS INT) AS d, q[CAST(d AS INT)] AS qv
+      FROM qv, unnest(generate_series(1, {dim})) t(d)
+    ), planes AS (
+      {_sql_planes(dim, n_planes, seed)}
+    ), dots AS (
+      SELECT qd.vec_id, pl.p, CAST(sum(qd.qv * pl.w) AS BIGINT) AS dot
+      FROM qd JOIN planes pl USING (d) GROUP BY qd.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    """
 
 
 def lsh_bucket_topk(
@@ -145,11 +226,12 @@ def lsh_bucket_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qe"),
         F.col("bucket").alias("qbucket"),
-    )
+    ).withColumn("qn", _norm(F.col("qe")))
     # multi-probe: query bucket + all 1-bit flips (n_planes+1 probes)
     probes = q.select(
         "query_id",
         "qe",
+        "qn",
         F.explode(
             F.array(
                 F.col("qbucket"),
@@ -162,13 +244,16 @@ def lsh_bucket_topk(
     )
     c = bucketed.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"), "bucket"
-    )
+    ).withColumn("cn", _norm(F.col("ce")))
     scored = (
         c.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim_u",
-            F.floor(cosine_sim_col(F.col("qe"), F.col("ce")) * 1e6 + F.lit(0.5)).cast("long"),
+            F.floor(
+                _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")) * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_u"), F.asc("neighbor_id"))
@@ -179,51 +264,67 @@ def lsh_bucket_topk(
     )
 
 
-def kmeans_centroids(sample: np.ndarray, n_clusters: int, seed: int = 42,
-                     n_iter: int = 10) -> np.ndarray:
-    """Plain deterministic Lloyd's k-means on a driver-side sample (numpy).
-
-    The IVF coarse quantizer: at 100 TB the sample is a tiny fraction pulled
-    with df.sample(); centroids (n_clusters x dim floats) broadcast cheaply.
+def sql_lsh_topk(
+    n_queries: int = 5, k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`lsh_bucket_topk` — planes re-derived from md5,
+    exact integer bucketing, multi-probe, cosine scoring, same tie-breaks."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ){_sql_buckets("e", dim, n_planes, seed)}
+    , qrows AS (
+      SELECT b.vec_id AS query_id, e.e AS qe, b.bucket AS qbucket
+      FROM buckets b JOIN e ON e.vec_id = b.vec_id
+      WHERE b.vec_id < {n_queries}
+    ), probes AS (
+      SELECT query_id, qe,
+             CASE WHEN f = 0 THEN qbucket
+                  ELSE xor(qbucket, CAST(1 AS BIGINT) << (f - 1)) END AS bucket
+      FROM qrows, unnest(generate_series(0, {n_planes})) t(f)
+    ), cand AS (
+      SELECT p.query_id, p.qe, b.vec_id AS neighbor_id, e.e AS ce
+      FROM probes p
+      JOIN buckets b ON b.bucket = p.bucket
+      JOIN e ON e.vec_id = b.vec_id
+      WHERE b.vec_id <> p.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(floor(list_cosine_similarity(qe, ce) * 1e6 + 0.5) AS BIGINT) AS sim_u
+      FROM cand
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_u DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim_u
+    FROM ranked WHERE rank <= {k}
     """
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
-    cent = sample[idx].astype(np.float64).copy()
-    for _ in range(n_iter):
-        d = sample @ cent.T  # cosine-ish assignment on normalized data
-        assign = d.argmax(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                norm = np.linalg.norm(v)
-                if norm > 0:
-                    cent[c] = v / norm
-    return cent
 
 
-def _normalize_rows(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return m / n
+# ---------------------------------------------------------------------------
+# IVF (integer k-means coarse quantizer) — deterministic + SQL-expressible
+# ---------------------------------------------------------------------------
 
 
-def add_ivf_cluster(emb: DataFrame, centroids: np.ndarray,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (one Arrow matmul pass)."""
-    cent = centroids
+def _fdiv(s: int, n: int) -> int:
+    return s // n  # floor division; SQL mirror: (s - pmod(s, n)) / n
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _assign_clusters(q: DataFrame, cent: np.ndarray, id_col: str) -> DataFrame:
+    """cluster = argmax_j dot(q, cent_j), ties to the lowest j — one Arrow
+    int64 matmul pass; carries (id, e, q) through."""
+    c = cent
+
+    def run(batches):
         for pdf in batches:
-            m = _normalize_rows(
-                np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-            )
-            out = pdf[[id_col, vec_col]].copy()
-            out["cluster"] = (m @ cent.T).argmax(axis=1).astype(np.int32)
+            m = np.stack(pdf["q"].map(np.asarray).to_numpy()).astype(np.int64)
+            out = pdf[[id_col, "e", "q"]].copy()
+            out["cluster"] = (m @ c.T).argmax(axis=1).astype(np.int32)
             yield out
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, {vec_col} array<float>, cluster int"
+    return q.mapInPandas(
+        run, f"{id_col} long, e array<double>, q array<long>, cluster int"
     )
 
 
@@ -234,49 +335,79 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: coarse k-means quantizer, probe the n_probe nearest cells.
+    """IVF ANN: integer k-means coarse quantizer, probe the n_probe cells
+    with the largest query-centroid inner product.
 
-    Scale path: the corpus is partitioned by cluster; a query scores only
-    ~n_probe/n_clusters of the data.  Recall vs brute force pytest-verified.
+    Deterministic end-to-end and mirrored in :func:`sql_ivf_topk`:
+    - pivots: the n_clusters rows with the smallest md5(vec_id) (no sampled
+      state — any engine picks the same pivots);
+    - assignment: argmax integer dot of quantized vectors (exact);
+    - update: per-dimension floor(sum/count) on integers (exact);
+    - probing: top n_probe centroids by integer dot.
+    Scale: assignment is one codegen/Arrow pass per iteration over a skinny
+    (id, q) projection; driver state is only the (n_clusters x dim) ints.
+    ``seed`` keys the pivot hash strings (kept for API parity; pivoting is
+    hash-ordered, not sampled).
     """
-    # seeded sample, not limit(): limit takes the first partitions only,
-    # biasing the quantizer toward whatever data happens to sort first
-    n_total = emb.count()
-    frac = min(1.0, 4096 / max(n_total, 1))
-    rows = emb.sample(fraction=frac, seed=seed).limit(2048).collect()
-    if not rows:
-        rows = emb.limit(2048).collect()
-    sample = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+    e = emb.select(id_col, _as_double(F.col(vec_col)).alias("e"))
+    q = e.withColumn("q", _quantize(F.col("e")))
+
+    piv = (
+        q.select(id_col, "q", F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
+        .collect()
     )
-    cent = kmeans_centroids(_normalize_rows(sample), n_clusters, seed)
-    clustered = add_ivf_cluster(emb, cent, id_col, vec_col)
+    cent = np.array([r["q"] for r in piv], dtype=np.int64)
+    dim = cent.shape[1]
+
+    for _ in range(n_iter):
+        assigned = _assign_clusters(q, cent, id_col)
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new = cent.copy()
+        for r in stats:
+            j, n = r["cluster"], r["_n"]
+            new[j] = [_fdiv(int(r[f"s{d}"]), int(n)) for d in range(dim)]
+        cent = new
+
+    clustered = _assign_clusters(q, cent, id_col)
 
     q_rows = clustered.filter(F.col(id_col) < n_queries).collect()
     probes = []
     for r in q_rows:
-        qv = _normalize_rows(np.asarray(r[vec_col], dtype=np.float64)[None, :])[0]
-        order = np.argsort(-(cent @ qv))[:n_probe]
-        for c in order:
-            probes.append((int(r[id_col]), [float(x) for x in r[vec_col]], int(c)))
+        qq = np.asarray(r["q"], dtype=np.int64)
+        dots = cent @ qq
+        # top n_probe by (dot desc, cluster asc) — argsort on (-dot) is
+        # stable, so equal dots keep ascending cluster order
+        order = np.argsort(-dots, kind="stable")[:n_probe]
+        for j in order:
+            probes.append((int(r[id_col]), list(r["e"]), int(j)))
     spark = emb.sparkSession
     probe_df = spark.createDataFrame(
-        probes, f"query_id long, qe array<float>, cluster int"
-    )
+        probes, "query_id long, qe array<double>, cluster int"
+    ).withColumn("qn", _norm(F.col("qe")))
     c = clustered.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"),
-        "cluster",
-    )
+        F.col(id_col).alias("neighbor_id"), F.col("e").alias("ce"), "cluster"
+    ).withColumn("cn", _norm(F.col("ce")))
     scored = (
         c.join(F.broadcast(probe_df), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim_u",
             F.floor(
-                cosine_sim_col(_as_double(F.col("qe")), F.col("ce")) * 1e6 + F.lit(0.5)
+                _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")) * 1e6
+                + F.lit(0.5)
             ).cast("long"),
         )
     )
@@ -285,8 +416,97 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim_u")
-        .distinct()
     )
+
+
+def sql_ivf_topk(
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk`: md5-ordered pivots, ``n_iter``
+    unrolled integer-k-means rounds, integer probe selection, cosine scoring."""
+    quant = SQL_QUANTIZE.format(e="e")
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), qv AS (
+      SELECT vec_id, {quant} AS q FROM e
+    ), qd AS (
+      SELECT vec_id, CAST(d AS INT) AS d, q[CAST(d AS INT)] AS qv
+      FROM qv, unnest(generate_series(1, {dim})) t(d)
+    ), piv AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+               AS cluster
+      FROM qv ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_clusters}
+    ), cent0 AS (
+      SELECT p.cluster, qd.d, qd.qv AS cv FROM piv p JOIN qd USING (vec_id)
+    )"""
+    ]
+    for i in range(n_iter):
+        parts.append(f"""
+    , dots{i} AS (
+      SELECT qd.vec_id, c.cluster, CAST(sum(qd.qv * c.cv) AS BIGINT) AS dot
+      FROM qd JOIN cent{i} c USING (d) GROUP BY qd.vec_id, c.cluster
+    ), assign{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+        FROM dots{i}) WHERE rn = 1
+    ), sums{i} AS (
+      SELECT a.cluster, qd.d, CAST(sum(qd.qv) AS BIGINT) AS s, count(*) AS cnt
+      FROM assign{i} a JOIN qd USING (vec_id) GROUP BY a.cluster, qd.d
+    ), cent{i + 1} AS (
+      SELECT c.cluster, c.d,
+             CASE WHEN s.cnt IS NULL THEN c.cv
+                  ELSE CAST((s.s - ((s.s % s.cnt) + s.cnt) % s.cnt) / s.cnt AS BIGINT)
+             END AS cv
+      FROM cent{i} c LEFT JOIN sums{i} s ON s.cluster = c.cluster AND s.d = c.d
+    )""")
+    t = n_iter
+    parts.append(f"""
+    , fdots AS (
+      SELECT qd.vec_id, c.cluster, CAST(sum(qd.qv * c.cv) AS BIGINT) AS dot
+      FROM qd JOIN cent{t} c USING (d) GROUP BY qd.vec_id, c.cluster
+    ), fassign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+        FROM fdots) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+        FROM fdots WHERE vec_id < {n_queries}) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN fassign a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(floor(list_cosine_similarity(qe.e, ne.e) * 1e6 + 0.5) AS BIGINT) AS sim_u
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_u DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim_u
+    FROM ranked WHERE rank <= {k}
+    """)
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Planted near-duplicates + LSH near-dup pairs
+# ---------------------------------------------------------------------------
 
 
 def planted_embeddings(
@@ -350,18 +570,39 @@ def embedding_near_dups(
     bucketed = add_lsh_bucket(emb, planes, id_col, vec_col)
     a = bucketed.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("ea"), "bucket"
-    )
+    ).withColumn("na", _norm(F.col("ea")))
     b = bucketed.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("eb"), "bucket"
-    )
+    ).withColumn("nb", _norm(F.col("eb")))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "sim_u",
-            F.floor(cosine_sim_col(F.col("ea"), F.col("eb")) * 1e6 + F.lit(0.5)).cast("long"),
+            F.floor(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
         )
         .filter(F.col("sim_u") >= threshold_u)
         .select("id_a", "id_b", "sim_u")
         .distinct()
     )
+
+
+def sql_embedding_near_dups_lsh(
+    threshold_u: int = 900_000, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB twin of embedding_near_dups over planted_embeddings."""
+    planted_body = SQL_PLANTED_EMB.strip().removeprefix("WITH ")
+    return f"""
+    WITH {planted_body}
+    {_sql_buckets("pl", dim, n_planes, seed)}
+    , be AS (
+      SELECT b.vec_id, b.bucket, pl.e FROM buckets b JOIN pl USING (vec_id)
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) AS BIGINT) AS sim_u
+    FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(floor(list_cosine_similarity(a.e, b.e) * 1e6 + 0.5) AS BIGINT) >= {threshold_u}
+    """

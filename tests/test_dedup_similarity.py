@@ -150,7 +150,7 @@ def test_media_decode_stub(spark, planted_docs):
     assert len(meta) == 5
     for r in meta:
         assert r["media_kind"] in ("image", "audio", "video")
-        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
         assert 16 <= r["width"] <= 16 + 1920 and 16 <= r["height"] <= 16 + 1080
     with pytest.raises(NotImplementedError):
         MM.decode_media(MM.synth_media(planted_docs), real_codecs=True)
