@@ -167,20 +167,23 @@ def add_lsh_bucket(
     vector with each integer plane, all in whole-stage codegen (no Python).
 
     |dot| <= dim * QUANT_max * PLANE_RANGE ~ 2^40 at dim 64: exact in long.
+    The whole bucket expression is ONE parsed SQL string: composing it from
+    n_planes x dim F.lit() Columns costs ~1 s of py4j round-trips per call
+    (measured — the r02 'unexplained' lsh_topk regression), parsing is ms.
     """
-    q = F.col("_q")
-    bucket = None
-    for p in range(planes.shape[0]):
-        pw = F.array(*[F.lit(int(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(q, pw, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    dots = [
+        "aggregate(zip_with(_q, array({w}), (x, y) -> x * y), 0L, (s, x) -> s + x)".format(
+            w=",".join(f"{int(x)}L" for x in planes[p])
         )
-        bit = F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
+        for p in range(planes.shape[0])
+    ]
+    bucket_sql = " + ".join(
+        f"(CASE WHEN {d} > 0 THEN {1 << p}L ELSE 0L END)" for p, d in enumerate(dots)
+    )
     return (
         emb.select(id_col, vec_col)
         .withColumn("_q", _quantize(_as_double(F.col(vec_col))))
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", F.expr(bucket_sql))
         .drop("_q")
     )
 
@@ -328,6 +331,46 @@ def _assign_clusters(q: DataFrame, cent: np.ndarray, id_col: str) -> DataFrame:
     )
 
 
+def _cluster_stats(q: DataFrame, cent: np.ndarray) -> list:
+    """One k-means round's sufficient statistics: per-cluster member count
+    and per-dimension sum of quantized vectors.
+
+    Map-side combine inside the Arrow pass (one partial row per cluster per
+    batch), then a (cluster, d) sum — the shuffled data is
+    O(n_partitions * n_clusters * dim) longs, never the corpus.  Returns
+    collected rows (cluster, d, s, n) — n carried on the d=0 row.
+    """
+    c = cent
+    n_clusters = c.shape[0]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["q"].map(np.asarray).to_numpy()).astype(np.int64)
+            assign = (m @ c.T).argmax(axis=1)
+            clusters, counts, sums = [], [], []
+            for j in np.unique(assign):
+                members = m[assign == j]
+                clusters.append(int(j))
+                counts.append(len(members))
+                sums.append([int(x) for x in members.sum(axis=0)])
+            yield pd.DataFrame({"cluster": clusters, "n": counts, "sums": sums})
+
+    partials = q.select("q").mapInPandas(
+        run, "cluster int, n long, sums array<long>"
+    )
+    return (
+        partials.select("cluster", "n", F.posexplode("sums").alias("d", "s"))
+        .groupBy("cluster", "d")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum(F.when(F.col("d") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        )
+        .collect()
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -353,8 +396,12 @@ def ivf_topk(
     ``seed`` keys the pivot hash strings (kept for API parity; pivoting is
     hash-ordered, not sampled).
     """
+    from . import _cache
+
     e = emb.select(id_col, _as_double(F.col(vec_col)).alias("e"))
-    q = e.withColumn("q", _quantize(F.col("e")))
+    # persisted: the k-means loop makes n_iter+1 passes over (id, e, q) —
+    # without it each pass re-scans the source and re-quantizes
+    q = _cache.claim("ivf_topk.q", e.withColumn("q", _quantize(F.col("e"))))
 
     piv = (
         q.select(id_col, "q", F.md5(F.col(id_col).cast("string")).alias("_h"))
@@ -366,24 +413,19 @@ def ivf_topk(
     dim = cent.shape[1]
 
     for _ in range(n_iter):
-        assigned = _assign_clusters(q, cent, id_col)
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count("*").alias("_n"),
-                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(dim)],
-            )
-            .collect()
-        )
+        rows = _cluster_stats(q, cent)
+        counts = {r["cluster"]: int(r["n0"]) for r in rows if r["d"] == 0}
         new = cent.copy()
-        for r in stats:
-            j, n = r["cluster"], r["_n"]
-            new[j] = [_fdiv(int(r[f"s{d}"]), int(n)) for d in range(dim)]
+        for r in rows:
+            j = r["cluster"]
+            new[j, r["d"]] = _fdiv(int(r["s"]), counts[j])
         cent = new
 
     clustered = _assign_clusters(q, cent, id_col)
 
-    q_rows = clustered.filter(F.col(id_col) < n_queries).collect()
+    # probe selection runs driver-side on the n_queries collected rows —
+    # same argmax-dot math as the distributed assignment, no extra pass
+    q_rows = q.filter(F.col(id_col) < n_queries).collect()
     probes = []
     for r in q_rows:
         qq = np.asarray(r["q"], dtype=np.int64)
