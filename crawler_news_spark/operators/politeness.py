@@ -3,7 +3,7 @@
 The reference's politeness is a 1 s sleep per article plus per-fetch jitter
 (base_crawler.py:61, vnexpress.py:177-178).  The engine generalizes it to a
 **virtual clock**: every fetch on host ``h`` occupies a slot
-``fetch_ts = clock_base[h] + seq * crawl_delay_s``, where ``seq`` is the
+``fetch_ts = clock[h] + seq * crawl_delay_s``, where ``seq`` is the
 host-global fetch sequence number for the wave, ordered by the deterministic
 crawl key (kind listing<article, type_id, page_no, link_index) — never
 arrival order.  Timestamps are data, not sleeps: correctness is provable
@@ -17,47 +17,69 @@ two levels:
 1. rank *within* ``(host, kind, type_id)`` — many small window partitions,
    parallelism scales with categories, no hot task;
 2. add a per-``(host, kind, type_id)`` cumulative offset, computed as a
-   distributed window over the tiny counts aggregate and broadcast-joined
-   back (the window runs over group rows, #types per host, never URL rows).
+   distributed window over the tiny counts aggregate and joined back (the
+   window runs over group rows, #types per host, never URL rows).
 
-This is exact (offsets follow the same key order the windows use); the only
-driver-side state is the O(#hosts) per-host clock + kind totals.
+Driver state: NONE that scales with hosts.  The per-host virtual clock and
+crawl delays are DataFrames end-to-end (r03 — previously the clock lived in
+the manifest JSON and the delays in a Python dict: four host-indexed driver
+structures were the ceiling a 10^8-host web would hit first).  The only
+collect here is the 2-row per-kind totals the wave loop branches on.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _KIND_RANK = {"listing": 0, "article": 1}
 
+CLOCK_DDL = "host string, clock double"
+
 
 def schedule_wave(
     frontier_wave: DataFrame,
-    delays: dict[str, float],
-    clock_base: dict[str, float],
-) -> tuple[DataFrame, dict[str, float], dict[str, int]]:
+    delay_dim: DataFrame,
+    clock_df: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, dict[str, int], DataFrame]:
     """Assign ``fetch_ts`` to every frontier row of one wave.
 
-    Returns (frontier with fetch_ts, updated clock_base, row totals
-    {'listing': n, 'article': n}) — the totals ride along from the counts
-    aggregate so the wave loop never needs a separate count() action.
-    ``delays`` maps host -> crawl_delay_s (from robots/crawl config);
-    ``clock_base`` carries the per-host virtual clock across waves.
+    ``delay_dim`` is the (host, crawl_delay_s) state table (from fetched
+    robots.txt); ``clock_df`` the (host, clock) virtual-clock state table of
+    the previous wave (None at wave 0).
+
+    Returns ``(scheduled, new_clock_df, totals, art_counts_df)``:
+
+    - scheduled: the frontier with fetch_ts;
+    - new_clock_df: next wave's (host, clock) — hosts absent from this wave
+      keep their clock;
+    - totals: {'listing': n, 'article': n} — a TWO-row collect (the wave
+      loop's branch decisions; nothing host-indexed reaches the driver);
+    - art_counts_df: lazy (host, n_sched) article counts for lineage.
+
+    Joins carry no broadcast hint: at sandbox scale AQE broadcasts the tiny
+    dims; at 10^8 hosts they become shuffle joins on host, which is the
+    correct plan (the dims no longer fit an executor).
     """
+    from . import _cache
+
     df = frontier_wave.withColumn(
         "kind_rank", F.when(F.col("kind") == "listing", 0).otherwise(1)
+    )
+
+    # per-(host,kind,type) counts feed four consumers (offsets window, kind
+    # totals, clock update, lineage) — persisted via a named slot so the next
+    # wave's call releases this generation
+    counts_df = _cache.claim(
+        "politeness.counts",
+        df.groupBy("host", "kind_rank", "type_id").agg(F.count("*").alias("n")),
     )
 
     # (2) per-group offsets computed DISTRIBUTED: cumulative count over the
     # tiny (host, kind, type) aggregate — the window partitions are per host
     # but over group rows (#types per host), never URL rows, so no hot task.
-    # Only O(#hosts) rows (per-host/kind totals for the virtual clock and the
-    # wave-loop branch decisions) ever reach the driver — at a web-scale
-    # taxonomy the old O(#hosts x #types) offsets collect was the bottleneck.
-    counts_df = df.groupBy("host", "kind_rank", "type_id").agg(
-        F.count("*").alias("n")
-    )
     w_off = (
         Window.partitionBy("host")
         .orderBy("kind_rank", "type_id")
@@ -67,23 +89,35 @@ def schedule_wave(
         "grp_offset", F.coalesce(F.sum("n").over(w_off), F.lit(0))
     ).drop("n")
 
-    host_stats = (
-        counts_df.groupBy("host", "kind_rank").agg(F.sum("n").alias("n")).collect()
+    totals = {"listing": 0, "article": 0}
+    for r in counts_df.groupBy("kind_rank").agg(F.sum("n").alias("n")).collect():
+        totals["listing" if r["kind_rank"] == 0 else "article"] = int(r["n"])
+    art_counts_df = (
+        counts_df.filter(F.col("kind_rank") == 1)
+        .groupBy("host")
+        .agg(F.sum("n").alias("n_sched"))
     )
-    running: dict[str, int] = {}
-    totals = {"listing": 0, "article": 0, "by_host": {}}
-    for r in host_stats:
-        kind = "listing" if r["kind_rank"] == 0 else "article"
-        totals[kind] += r["n"]
-        hk = totals["by_host"].setdefault(r["host"], {"listing": 0, "article": 0})
-        hk[kind] += r["n"]
-        running[r["host"]] = running.get(r["host"], 0) + r["n"]
 
-    spark = frontier_wave.sparkSession
-    delay_df = spark.createDataFrame(
-        [(h, delays[h], clock_base.get(h, 0.0)) for h in running],
-        "host string, crawl_delay_s double, clock0 double",
+    # per-host clock0 for this wave (hosts never scheduled before start at 0)
+    host_n = counts_df.groupBy("host").agg(F.sum("n").alias("_n"))
+    wave_hosts = host_n.join(delay_dim, "host")
+    if clock_df is not None:
+        wave_hosts = wave_hosts.join(clock_df, "host", "left").withColumn(
+            "clock0", F.coalesce(F.col("clock"), F.lit(0.0))
+        ).drop("clock")
+    else:
+        wave_hosts = wave_hosts.withColumn("clock0", F.lit(0.0))
+
+    # next wave's clock state table: advanced for scheduled hosts, carried
+    # for the rest
+    advanced = wave_hosts.select(
+        "host", (F.col("clock0") + F.col("_n") * F.col("crawl_delay_s")).alias("clock")
     )
+    if clock_df is not None:
+        carried = clock_df.join(host_n.select("host"), "host", "left_anti")
+        new_clock_df = carried.unionByName(advanced)
+    else:
+        new_clock_df = advanced
 
     # (1) fine-partition window rank — no host-level hot partition
     w = Window.partitionBy("host", "kind_rank", "type_id").orderBy(
@@ -91,31 +125,66 @@ def schedule_wave(
     )
     scheduled = (
         df.withColumn("grp_rank", F.row_number().over(w))
-        .join(F.broadcast(offset_df), ["host", "kind_rank", "type_id"])
-        .join(F.broadcast(delay_df), "host")
+        .join(offset_df, ["host", "kind_rank", "type_id"])
+        .join(wave_hosts.select("host", "crawl_delay_s", "clock0"), "host")
         .withColumn("host_seq", F.col("grp_offset") + F.col("grp_rank"))
         .withColumn(
             "fetch_ts",
             F.col("clock0") + F.col("host_seq") * F.col("crawl_delay_s"),
         )
-        .drop("kind_rank", "grp_rank", "grp_offset", "clock0")
+        .drop("kind_rank", "grp_rank", "grp_offset", "clock0", "crawl_delay_s", "_n")
     )
-    new_base = dict(clock_base)
-    for h, n in running.items():
-        new_base[h] = clock_base.get(h, 0.0) + n * delays[h]
-    return scheduled, new_base, totals
+    return scheduled, new_clock_df, totals, art_counts_df
+
+
+def robots_filter_dim(df: DataFrame, dim: DataFrame | None) -> DataFrame:
+    """Drop candidate URLs whose path matches a robots Disallow prefix.
+
+    ``dim`` is a (host, disallow_rx) dimension — one hash join plus one
+    rlike per row.  (An earlier per-host predicate chain built an O(#hosts)
+    expression tree: fine at 7 hosts, quadratic analysis blowup at web-scale
+    host counts.)  Hosts without rules pass via the null regex branch; the
+    left join keeps them.
+    """
+    if dim is None:
+        return df
+    return (
+        df.join(F.broadcast(dim), "host", "left")
+        .filter(
+            F.col("disallow_rx").isNull()
+            | ~F.expr("rlike(canonical_url, disallow_rx)")
+        )
+        .drop("disallow_rx")
+    )
+
+
+def compile_robots_dim(robots_df: DataFrame) -> DataFrame:
+    """(host, disallow array<string>) -> (host, disallow_rx) computed
+    DISTRIBUTED (regex-escape per row in an Arrow batch) — the rules table
+    never materializes on the driver."""
+    import re as _re
+
+    @F.pandas_udf("string")
+    def _rx(host: pd.Series, dis: pd.Series) -> pd.Series:
+        out = []
+        for h, ds in zip(host, dis):
+            ds = list(ds) if ds is not None else []
+            if not ds:
+                out.append(None)
+                continue
+            alts = "|".join(_re.escape(p) for p in ds)
+            out.append(f"^https?://{_re.escape(h)}({alts})")
+        return pd.Series(out)
+
+    return (
+        robots_df.select("host", _rx(F.col("host"), F.col("disallow")).alias("disallow_rx"))
+        .filter(F.col("disallow_rx").isNotNull())
+    )
 
 
 def robots_filter(df: DataFrame, rules: dict[str, tuple[str, ...]]) -> DataFrame:
-    """Drop candidate URLs whose path matches a robots Disallow prefix.
-
-    ``rules`` maps host -> disallow path prefixes, compiled to one regex per
-    host and delivered as a broadcast ``(host, disallow_rx)`` dimension —
-    one hash join plus one rlike per row.  (An earlier per-host predicate
-    chain built an O(#hosts) expression tree: fine at 7 hosts, quadratic
-    analysis blowup at web-scale host counts.)  Hosts without rules pass via
-    the null regex branch; the left join keeps them.
-    """
+    """Dict-based convenience wrapper over :func:`robots_filter_dim` (tests /
+    ad-hoc use; the wave loop feeds the DataFrame dimension directly)."""
     import re as _re
 
     rows = []
@@ -127,11 +196,4 @@ def robots_filter(df: DataFrame, rules: dict[str, tuple[str, ...]]) -> DataFrame
     if not rows:
         return df
     dim = df.sparkSession.createDataFrame(rows, "host string, disallow_rx string")
-    return (
-        df.join(F.broadcast(dim), "host", "left")
-        .filter(
-            F.col("disallow_rx").isNull()
-            | ~F.expr("rlike(canonical_url, disallow_rx)")
-        )
-        .drop("disallow_rx")
-    )
+    return robots_filter_dim(df, dim)

@@ -273,8 +273,7 @@ class CuckooState:
             for h in hs:
                 hu = int(h) & _MASK64
                 if op == "insert":
-                    if not cf.insert(hu):
-                        raise RuntimeError("cuckoo bucket full — raise capacity")
+                    cf.insert(hu)  # grows the table chain on overflow
                     n += 1
                 elif cf.delete(hu):  # only count deletes that removed something
                     n -= 1
@@ -333,14 +332,8 @@ class CuckooState:
 # ---------------------------------------------------------------------------
 
 
-class CuckooFilter:
-    """A plain (single-process) cuckoo filter over 64-bit hashes.
-
-    Used for re-crawl eviction where the bloom can't delete.  Bucketized the
-    same way as the bloom at scale (one filter per hash bucket); exposed here
-    as the per-bucket primitive with insert/delete/contains + serialization.
-    16-bit fingerprints, 4 slots per bucket.
-    """
+class _CuckooTable:
+    """One fixed-size cuckoo table: 16-bit fingerprints, 4 slots per bucket."""
 
     SLOTS = 4
 
@@ -351,7 +344,8 @@ class CuckooFilter:
             table if table is not None else np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         )
 
-    def _fp(self, h: int) -> int:
+    @staticmethod
+    def _fp(h: int) -> int:
         fp = (h >> 40) & 0xFFFF
         return fp if fp != 0 else 1
 
@@ -373,8 +367,10 @@ class CuckooFilter:
                 return True
         i = i1 if h % 2 else i2
         rng = np.random.default_rng(h & _MASK64)
+        trail: list[tuple[int, int, int]] = []  # (bucket, slot, displaced fp)
         for _ in range(max_kicks):
             slot = int(rng.integers(self.SLOTS))
+            trail.append((i, slot, int(self.table[i, slot])))
             fp, self.table[i, slot] = int(self.table[i, slot]), fp
             i = self._i2(i, fp)
             row = self.table[i]
@@ -382,7 +378,13 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = fp
                 return True
-        return False  # table full
+        # table full: the kick walk displaced resident fingerprints and the
+        # last victim is in hand — undo the walk so failure leaves the table
+        # EXACTLY as it was (the caller retries in a grown table; a mutated
+        # table here silently evicts a resident key -> false negative)
+        for b, s, old in reversed(trail):
+            self.table[b, s] = old
+        return False
 
     def contains(self, h: int) -> bool:
         fp = self._fp(h)
@@ -399,12 +401,79 @@ class CuckooFilter:
                 return True
         return False
 
+
+class CuckooFilter:
+    """A dynamic (growable) cuckoo filter over 64-bit hashes.
+
+    Used for re-crawl eviction where the bloom can't delete.  Bucketized the
+    same way as the bloom at scale (one filter per hash bucket); exposed here
+    as the per-bucket primitive with insert/delete/contains + serialization.
+
+    Overflow handling (r03): a cuckoo table cannot be rehashed in place —
+    resident entries are 16-bit fingerprints, not keys, so their home bucket
+    in a larger table is unrecoverable.  Instead this is a *dynamic cuckoo
+    filter* (Chen et al., ICNP'17 shape): a chain of fixed tables; when the
+    newest fills past its kick budget, a table of 2x its buckets is appended
+    and inserts continue there.  ``contains``/``delete`` scan the chain (FP
+    rate grows ~linearly with chain length, which doubling keeps O(log n)).
+    A load factor of ~0.95 per table holds before a grow, so a
+    capacity_per_bucket underestimate degrades smoothly instead of killing
+    the job mid-wave (previously: RuntimeError at 10^10-insert scale).
+
+    Serialization: uint64 n_tables, then per table uint64 n_buckets + the
+    uint16 slot matrix.
+    """
+
+    SLOTS = _CuckooTable.SLOTS
+
+    def __init__(self, capacity: int, tables: list[_CuckooTable] | None = None):
+        self.capacity = capacity
+        self.tables = tables if tables is not None else [_CuckooTable(capacity)]
+
+    def insert(self, h: int, max_kicks: int = 500) -> bool:
+        """Insert into the newest table, growing the chain on overflow.
+        Always returns True (kept boolean for the paper's API shape)."""
+        if self.tables[-1].insert(h, max_kicks):
+            return True
+        grown = _CuckooTable(self.tables[-1].n_buckets * 2 * self.SLOTS)
+        self.tables.append(grown)
+        return grown.insert(h, max_kicks)
+
+    def contains(self, h: int) -> bool:
+        return any(t.contains(h) for t in self.tables)
+
+    def delete(self, h: int) -> bool:
+        # newest-first: a duplicate insert lands in the newest table; delete
+        # mirrors insert order so paired insert/delete cancels exactly
+        for t in reversed(self.tables):
+            if t.delete(h):
+                return True
+        return False
+
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        parts = [np.array([len(self.tables)], dtype=np.uint64).tobytes()]
+        for t in self.tables:
+            parts.append(np.array([t.n_buckets], dtype=np.uint64).tobytes())
+            parts.append(t.table.tobytes())
+        return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, data: bytes, capacity: int) -> "CuckooFilter":
-        cf = cls(capacity)
-        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(-1, cls.SLOTS).copy()
-        cf.n_buckets = cf.table.shape[0]
-        return cf
+        buf = memoryview(data)
+        n_tables = int(np.frombuffer(buf[:8], dtype=np.uint64)[0])
+        off = 8
+        tables = []
+        for _ in range(n_tables):
+            nb = int(np.frombuffer(buf[off : off + 8], dtype=np.uint64)[0])
+            off += 8
+            size = nb * cls.SLOTS * 2
+            arr = (
+                np.frombuffer(buf[off : off + size], dtype=np.uint16)
+                .reshape(nb, cls.SLOTS)
+                .copy()
+            )
+            off += size
+            t = _CuckooTable(nb * cls.SLOTS, arr)
+            t.n_buckets = nb
+            tables.append(t)
+        return cls(capacity, tables)

@@ -70,8 +70,13 @@ class WaveCrawl:
             SCH.HOSTS,
         ).cache()
         # politeness budget + disallow rules come from FETCHED robots.txt
-        # (north_rule), pulled through the same fetch path as every page
-        self.robots_rules, self.delays = self._fetch_robots()
+        # (north_rule), pulled through the same fetch path as every page.
+        # Kept as DataFrames end-to-end (r03): nothing host-indexed lives on
+        # the driver — delays join into the politeness schedule, disallow
+        # regexes compile executor-side into a join dimension.
+        self.robots_df = self._fetch_robots_df().persist()
+        self.delay_dim = self.robots_df.select("host", "crawl_delay_s")
+        self.robots_dim = pol.compile_robots_dim(self.robots_df).persist()
         # taxonomy dim for executor-side listing-URL synthesis (seed + next
         # listing batches): (host, type_id, slug, pag_kind, n_seed_pages).
         # Built DISTRIBUTED from the O(#hosts) host metadata — types explode
@@ -121,12 +126,11 @@ class WaveCrawl:
             m_bits, k = S.bloom_params(self.cfg.bloom_expected_per_bucket)
             self.bloom_state = S.BloomState(self.cfg.bloom_buckets, m_bits, k)
 
-    def _fetch_robots(self) -> tuple[dict, dict]:
+    def _fetch_robots_df(self) -> DataFrame:
         """Fetch + parse robots.txt for every host, distributed through the
         same fetch path the crawler uses (north_rule: "robots.txt fetch +
-        crawl-delay enforced").  Returns (host -> disallow prefixes,
-        host -> crawl_delay_s) — #hosts rows, the same O(#hosts) driver
-        footprint the politeness clock already carries.
+        crawl-delay enforced").  Returns the (host, disallow, crawl_delay_s)
+        state TABLE — never collected: at 10^8 hosts this is executor data.
         """
         import pandas as pd
 
@@ -149,14 +153,8 @@ class WaveCrawl:
                     rows, columns=["host", "disallow", "crawl_delay_s"]
                 )
 
-        out = (
-            self.hosts_df.select("host")
-            .mapInPandas(run, "host string, disallow array<string>, crawl_delay_s double")
-            .collect()
-        )
-        return (
-            {r["host"]: tuple(r["disallow"]) for r in out},
-            {r["host"]: r["crawl_delay_s"] for r in out},
+        return self.hosts_df.select("host").mapInPandas(
+            run, "host string, disallow array<string>, crawl_delay_s double"
         )
 
     RECORDS_DDL = (
@@ -218,8 +216,10 @@ class WaveCrawl:
             cat.prune_uncommitted()
             wave = cat.last_wave() + 1
             frontier = cat.read_wave("frontier", wave) if cat.has("frontier", wave) else None
-            m = cat.read_manifest()
-            clock_base = dict(m["waves"][str(cat.last_wave())]["clock_base"])
+            # per-host virtual clock is a catalog state table, not manifest
+            # JSON — O(#hosts) rows never live on the driver
+            last = cat.last_wave()
+            clock_df = cat.read_wave("clock", last) if cat.has("clock", last) else None
         else:
             wave = 0
             # a pre-written wave-0 frontier (inject_requests / crawl_url_list
@@ -228,13 +228,13 @@ class WaveCrawl:
             if not cat.has("frontier", 0):
                 cat.write("frontier", 0, self.seed_frontier())
             frontier = cat.read_wave("frontier", 0)
-            clock_base = {}
+            clock_df = None
 
         stats = {"n_waves": 0, "t_start": time.time()}
         while frontier is not None:
             if wave >= cfg.max_waves:
                 raise RuntimeError("max_waves exceeded")
-            clock_base, n_next = self._run_wave(wave, frontier, clock_base)
+            clock_df, n_next = self._run_wave(wave, frontier, clock_df)
             wave += 1
             if n_next <= 0 or not cat.has("frontier", wave):
                 break
@@ -244,8 +244,11 @@ class WaveCrawl:
         return stats
 
     # ------------------------------------------------------------------
-    def _run_wave(self, wave: int, frontier: DataFrame, clock_base: dict) -> tuple[dict, int]:
-        """Process one wave.  Returns (new clock_base, next-frontier row count).
+    def _run_wave(
+        self, wave: int, frontier: DataFrame, clock_df: DataFrame | None
+    ) -> tuple[DataFrame, int]:
+        """Process one wave.  Returns (new clock state table, next-frontier
+        row count).
 
         Branch-skips: a wave with no listings (tail article waves) or no
         articles (wave 0) writes empty snapshots directly instead of running
@@ -282,7 +285,9 @@ class WaveCrawl:
                 deferred = None
             frontier = frontier.filter(F.col("kind") == "listing").unionByName(take)
 
-        scheduled, new_clock, totals = pol.schedule_wave(frontier, self.delays, clock_base)
+        scheduled, new_clock_df, totals, art_sched_counts = pol.schedule_wave(
+            frontier, self.delay_dim, clock_df
+        )
         has_listings = totals["listing"] > 0
         has_articles = totals["article"] > 0
         if has_listings or has_articles:
@@ -314,7 +319,7 @@ class WaveCrawl:
                 .withColumn("canonical_hash", canonical_hash_col(F.col("canonical_url")))
                 .drop("href", "base_url")
             )
-            candidates = pol.robots_filter(candidates, self.robots_rules)
+            candidates = pol.robots_filter_dim(candidates, self.robots_dim)
 
             # within-wave keep-first by the crawl key (min_by, one shuffle)
             key = F.struct("type_id", "page_no", "link_index", "host", "url")
@@ -527,25 +532,23 @@ class WaveCrawl:
             # narrow chain and collapse the fetch+parse stage's parallelism
             cat.write("articles", wave, records, None)
             # lineage: parsed counts from the snapshot just written (reads
-            # only the host column), errors = scheduled - parsed per host
-            parsed_by_host = {
-                r["host"]: r["n"]
-                for r in cat.read_wave("articles", wave)
+            # only the host column) joined against the scheduled counts —
+            # errors = scheduled - parsed, all DataFrame-side (no per-host
+            # collect: at 10^8 hosts lineage is executor data)
+            parsed_counts = (
+                cat.read_wave("articles", wave)
                 .groupBy("host")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            art_lineage_rows = [
-                (wave, h, hk["article"],
-                 parsed_by_host.get(h, 0),
-                 hk["article"] - parsed_by_host.get(h, 0))
-                for h, hk in totals["by_host"].items()
-                if hk["article"] > 0
-            ]
+                .agg(F.count("*").alias("_np"))
+            )
             lineage_parts.append(
-                spark.createDataFrame(
-                    art_lineage_rows,
-                    "wave int, host string, n_fetched long, n_parsed long, n_errors long",
+                art_sched_counts.join(parsed_counts, "host", "left").select(
+                    F.lit(wave).alias("wave"),
+                    "host",
+                    F.col("n_sched").cast("long").alias("n_fetched"),
+                    F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_parsed"),
+                    (F.col("n_sched") - F.coalesce(F.col("_np"), F.lit(0)))
+                    .cast("long")
+                    .alias("n_errors"),
                 )
             )
         # (no empty-side writes: readers use latest_wave_of/has, and an empty
@@ -570,6 +573,9 @@ class WaveCrawl:
             )
             cat.write("lineage", wave, lineage, parts)
 
+        # per-host virtual clock: a catalog state table (crash-safe with the
+        # wave commit; resume reads it back) — manifest keeps only scalars
+        cat.write("clock", wave, new_clock_df, parts)
         cat.commit_wave(
             wave,
             {
@@ -577,7 +583,6 @@ class WaveCrawl:
                 "n_new_urls": n_new,
                 "n_next": n_next,
                 "n_bloom_fp": n_bloom_fp,
-                "clock_base": new_clock,
                 "wall_s": time.time() - t0,
             },
         )
@@ -589,7 +594,7 @@ class WaveCrawl:
         if has_listings:
             parsed_listings.unpersist()
             new_rows.unpersist()
-        return new_clock, n_next
+        return cat.read_wave("clock", wave), n_next
 
     # ------------------------------------------------------------------
     # Re-crawl / on-demand surface (reference: daily cron re-run

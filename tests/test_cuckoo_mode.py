@@ -88,3 +88,37 @@ def test_cuckoo_evict_recrawl(spark, tmp_path):
     assert len(after) == len(before) + 2
     # filter consistency after delete+reinsert: duplicates still dropped
     assert wc.inject_requests(_req_rows(spark, targets)) == 0
+
+
+def test_cuckoo_overflow_grows_instead_of_raising(spark):
+    """VERDICT r02 item 4: inserting far past capacity x buckets must
+    complete with exact membership (chain growth), never RuntimeError."""
+    st = CuckooState(n_buckets=2, capacity_per_bucket=64)
+    n = 4000  # ~31x the nominal 2x64 capacity
+    a = spark.createDataFrame([(i * 2654435761,) for i in range(n)],
+                              "canonical_hash long")
+    tbl = st.update(None, a, spark)
+    rows = tbl.collect()
+    assert sum(r["n_items"] for r in rows) == n
+    probed = st.probe(a, tbl).collect()
+    assert all(r["maybe_seen"] for r in probed), "false negative after growth"
+    # deletes still work through the grown chain
+    victims = spark.createDataFrame([(i * 2654435761,) for i in range(100)],
+                                    "canonical_hash long")
+    tbl2 = st.delete(tbl, victims)
+    assert sum(r["n_items"] for r in tbl2.collect()) == n - 100
+
+
+def test_cuckoo_filter_unit_growth_roundtrip():
+    """Pure-python unit: grow chain, serialize, reload, exact membership."""
+    from crawler_news_spark.operators.seen import CuckooFilter
+
+    cf = CuckooFilter(16)
+    keys = [(i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1) for i in range(1, 2001)]
+    for k in keys:
+        assert cf.insert(k)
+    assert len(cf.tables) > 1  # growth actually happened
+    blob = cf.to_bytes()
+    cf2 = CuckooFilter.from_bytes(blob, 16)
+    assert all(cf2.contains(k) for k in keys)
+    assert cf2.delete(keys[0])

@@ -211,8 +211,16 @@ def test_robots_rules_come_from_fetched_robots_txt(spark, web):
 
     wc = WaveCrawl(spark, web, tempfile.mkdtemp(prefix="robots_"),
                    CrawlRunConfig(batch_pages=BATCH))
-    assert wc.robots_rules == {s.host: s.robots_disallow for s in web.hosts}
-    assert wc.delays == {s.host: s.crawl_delay_s for s in web.hosts}
+    # the robots state lives in a DataFrame (never host-indexed driver
+    # dicts) — collect here is test-side only
+    got = {r["host"]: (tuple(r["disallow"]), r["crawl_delay_s"])
+           for r in wc.robots_df.collect()}
+    assert {h: d for h, (d, _) in got.items()} == {
+        s.host: tuple(s.robots_disallow) for s in web.hosts
+    }
+    assert {h: d for h, (_, d) in got.items()} == {
+        s.host: s.crawl_delay_s for s in web.hosts
+    }
     # the fetch path really serves robots.txt
     txt = hs.fetch(web, f"https://{web.hosts[0].host}/robots.txt")
     assert txt.startswith("User-agent: *")
