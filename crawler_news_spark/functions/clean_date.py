@@ -15,15 +15,19 @@ Two implementations, both tested against shared golden vectors:
 
 Java regex notes: Vietnamese letters need the UNICODE_CHARACTER_CLASS flag for
 ``\\w``, spelled ``(?U)`` (Python's ``re`` is unicode-aware by default).
-NFC normalization (reference line 108) has no Spark builtin; the engine's
-synthetic inputs are generated NFC-normalized, and the oracle asserts golden
-equality with the Python version which does normalize.
+NFC normalization (reference line 108) has no Spark builtin; engine-internal
+synthetic inputs are generated NFC-normalized so the default column path skips
+it, and :func:`nfc_col` (a tiny Arrow vUDF pre-pass, exposed through
+``clean_date_staged(..., nfc=True)``) closes the gap for real-world corpora
+that may arrive NFD — golden-tested with decomposed inputs.
 """
 
 from __future__ import annotations
 
 import re
 import unicodedata
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -84,6 +88,23 @@ def clean_date_py(text_date: str) -> str:
     if "(GMT+7)" not in text_date:
         text_date += " (GMT+7)"
     return text_date
+
+
+def nfc_col(col: Column) -> Column:
+    """Arrow-batched NFC normalization pre-pass (reference
+    service_utils.py:108).  The regex pipeline's Vietnamese literals ("Cập
+    nhật", "Thứ", "lúc") are NFC; an NFD corpus would silently miss them, so
+    non-NFC sources run through this before :func:`clean_date_col` /
+    :func:`clean_date_staged`.  Vectorized per Arrow batch — the only
+    non-builtin step, and only paid when requested."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +187,7 @@ def clean_date_col(col: Column) -> Column:
     return t
 
 
-def clean_date_staged(df, src: str, dst: str):
+def clean_date_staged(df, src: str, dst: str, nfc: bool = False):
     """``clean_date`` as a staged column pipeline over a DataFrame.
 
     Semantically identical to :func:`clean_date_col`, but each intermediate
@@ -174,8 +195,12 @@ def clean_date_staged(df, src: str, dst: str):
     every ``when/otherwise`` (the tree grows multiplicatively, costing
     seconds of analysis per wave and repeated regex evaluation per row);
     naming the stages keeps the tree linear.  Still 100% built-in
-    expressions — no UDF.
+    expressions — no UDF except the optional ``nfc=True`` pre-pass for
+    corpora that may arrive NFD (see :func:`nfc_col`).
     """
+    if nfc:
+        df = df.withColumn("_cd_nfc", nfc_col(F.col(src)))
+        src = "_cd_nfc"
     t = F.regexp_replace(F.col(src), r"(?i)^Cập nhật lúc\s*", "")
     t = F.trim(t)
     t = F.regexp_replace(t, r"(?iU)(Thứ\s\w+|Chủ\sNhật)[,\s-]*(ngày\s*)?", "")
@@ -263,9 +288,9 @@ def clean_date_staged(df, src: str, dst: str):
     )
     drop = [c for c in df.columns if c.startswith(("_cd", "_tf_", "_a_", "_tz_", "_d"))
             and c != dst and c in (
-                "_cd0", "_cd1", "_cd2", "_cd3", "_cd4", "_tf_h", "_tf_m", "_tf_d",
-                "_tf_mo", "_tf_y", "_dm", "_dd", "_dmo", "_dy", "_a_h", "_a_m",
-                "_a_p", "_tz_d", "_tz_t",
+                "_cd_nfc", "_cd0", "_cd1", "_cd2", "_cd3", "_cd4", "_tf_h",
+                "_tf_m", "_tf_d", "_tf_mo", "_tf_y", "_dm", "_dd", "_dmo",
+                "_dy", "_a_h", "_a_m", "_a_p", "_tz_d", "_tz_t",
             )]
     return df.drop(*drop)
 

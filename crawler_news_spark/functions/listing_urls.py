@@ -39,4 +39,5 @@ def listing_url_expr(host: Column, slug: Column, pag_kind: Column,
             F.when(page_no == 1, F.concat(base, F.lit("/")))
             .otherwise(F.concat(base, F.lit("/p"), pg)),
         )
+        .when(pag_kind == "slug-p", F.concat(base, F.lit("/p"), pg))
     )

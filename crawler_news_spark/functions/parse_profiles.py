@@ -59,16 +59,36 @@ _RE_WALK = re.compile(
 )
 _RE_COMMENT = re.compile(r'<div class="comment_content">(.*?)</div>')
 _RE_ANCHOR = re.compile(r'<h3 class="title-news"><a href="(.*?)">')
+# listing families (F4) beyond h3.title-news — see hostsim.LISTING_FAMILY
+_RE_ARTICLE_WALK = re.compile(r"<article><h[23]><a href=\"(.*?)\">")
+_RE_MULTI_CLASS = re.compile(
+    r'<h3 class="(?:horizontalPost__main-title|vnn-title|title-bold)">'
+    r'<a href="(.*?)">'
+)
+_RE_PLAIN_ARTICLE_A = re.compile(r'<article><a href="(.*?)">')
+_RE_NEWSTITLE_DIV = re.compile(r'<div class="newsTitle"><a href="(.*?)">')
+# cnd (congnghevadoisong.py:116-126) article selectors
+_RE_TITLE_CND = re.compile(r'<h1 class="postTitle">(.*?)</h1>')
+_RE_DATE_CND = re.compile(r'<span class="newsDate">(.*?)</span>')
+# style LAMBDA match: style contains BOTH 'font-weight: bold' and
+# 'text-align: justify' in any order (congnghevadoisong.py:118)
+_RE_DESC_CND = re.compile(
+    r'<p style="(?=[^"]*font-weight: bold)(?=[^"]*text-align: justify)[^"]*">(.*?)</p>'
+)
+_RE_AUTHOR_CND = re.compile(r'<span class="link-source-text-name">(.*?)</span>')
+_RE_BODY_CND = re.compile(r'<div class="postRickText">(.*?)</div>', re.S)
 
 
-def _walk_body(html: str) -> list[tuple[str, str]]:
+def _walk_body(html: str, body_re: re.Pattern | None = None) -> list[tuple[str, str]]:
     """In-order (kind, value) walk of the article body: text paras + img refs.
 
-    Image forms: lazy data-src (vnx/dtr), plain src (btt/qdn/thp/bdt),
+    Image forms: lazy data-src (vnx/dtr), plain src (btt/qdn/thp/bdt/cnd),
     figure-wrapped src (btu), data-original and picture>source data-srcset
-    first-candidate (vnn, vietnamnet.py:153-157).
+    first-candidate (vnn, vietnamnet.py:153-157).  ``body_re`` picks the
+    content container (default article.content-body; cnd uses
+    div.postRickText).
     """
-    m = _RE_BODY.search(html)
+    m = (body_re or _RE_BODY).search(html)
     if not m:
         return []
     out: list[tuple[str, str]] = []
@@ -119,8 +139,10 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     Output keys: title, description, content, pub_date_raw, author, imageUrl,
     comments, contentImageUrls, spans.
     """
-    # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141)
-    title = _first(_RE_TITLE_ATTR if profile == "bdt" else _RE_TITLE, html)
+    # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141);
+    # cnd reads h1.postTitle (congnghevadoisong.py:116)
+    title_re = {"bdt": _RE_TITLE_ATTR, "cnd": _RE_TITLE_CND}.get(profile, _RE_TITLE)
+    title = _first(title_re, html)
     if title is None:
         return None  # null-title drop (base_crawler.py:53-56) — all profiles
     if profile == "btu":
@@ -311,14 +333,65 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
             "spans": make_spans(paras, images),
         }
 
+    if profile == "cnd":
+        # skip-first-paragraph content family (congnghevadoisong.py:124-126:
+        # the div.postRickText's first <p> repeats the description and is
+        # dropped); description via the style-lambda match (:118); author
+        # defaults to "" when the source span is absent (:129-130)
+        desc_cnd = _first(_RE_DESC_CND, html)
+        date_cnd = _first(_RE_DATE_CND, html)
+        walk_cnd = _walk_body(html, _RE_BODY_CND)
+        texts = [v for k, v in walk_cnd if k == "text"]
+        kept = [t.strip() for t in texts[1:] if t.strip()]
+        images = [v for k, v in walk_cnd if k == "image"]
+        author = _first(_RE_AUTHOR_CND, html)
+        return {
+            "title": title.strip(),
+            "description": desc_cnd.strip() if desc_cnd else None,
+            "content": "\n".join(kept),
+            "pub_date_raw": date_cnd.strip() if date_cnd else None,
+            "author": author.strip() if author else "",
+            "imageUrl": None,
+            "comments": None,
+            "contentImageUrls": images,
+            "span_texts": kept,
+            "spans": make_spans(kept, images),
+        }
+
     raise ValueError(f"unknown profile {profile}")
 
 
 def parse_listing(html: str) -> tuple[list[str], bool]:
     """Listing page -> (hrefs in document order, is_terminal).
 
+    Families are structurally disjoint, so one parser serves all hosts
+    (hostsim.LISTING_FAMILY):
+
+    - h3.title-news anchors (vnexpress shape);
+    - article > h3|h2 > a walk — headingless articles skipped
+      (vtcnews.py:231-243);
+    - multi-class titles (vietnamnet.py:227-231);
+    - div.newsTitle anchors under the category container
+      (congnghevadoisong.py:193-201);
+    - plain article > a[href] with the http(s) filter + first-occurrence
+      dedup (quandoinhandan.py:198-202 — the reference's list(set()) order
+      is run-dependent; keep-first document order is the pinned spec).
+
     is_terminal mirrors the selenium one-shot 'returned a set' stop signal
     (base_crawler.py:129-131).
     """
     links = _RE_ANCHOR.findall(html)
+    if not links:
+        links = _RE_ARTICLE_WALK.findall(html)
+    if not links:
+        links = _RE_MULTI_CLASS.findall(html)
+    if not links:
+        links = _RE_NEWSTITLE_DIV.findall(html)
+    if not links and '<div class="list-news-category">' in html:
+        seen: set[str] = set()
+        links = []
+        for u in _RE_PLAIN_ARTICLE_A.findall(html):
+            if u.startswith("http") and u not in seen:
+                seen.add(u)
+                links.append(u)
     return links, "<!--one-shot-->" in html

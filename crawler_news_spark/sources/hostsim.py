@@ -42,7 +42,7 @@ def stable_hash(s: str, seed: int = 0) -> int:
 # Web configuration
 # ---------------------------------------------------------------------------
 
-PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt")
+PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt", "cnd")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
@@ -53,12 +53,36 @@ PAGINATION = {
     "btu": "loadmore",  # https://{h}/{slug}/trang-{n}/loadmore  baothanhtra.py:210
     "thp": "cond-first",  # p1: /{slug}/, else /{slug}/p{n}   taichinhdoanhnghiep.py:182-184
     "bdt": "trang-htm",  # baodantoc paginates like the dantri family
+    "cnd": "slug-p",  # https://{h}/{slug}/p{n}               congnghevadoisong.py:179
 }
 
 CONTENT_JOIN = {  # §2.3 P3
     "vnx": ",", "dtr": "\n", "btt": " ", "vnn": ",", "qdn": "\n",
-    "btu": "\n", "thp": "\n", "bdt": "\n",
+    "btu": "\n", "thp": "\n", "bdt": "\n", "cnd": "\n",
 }
+
+# Listing-extraction families (F4) — the reference exhibits ~30 per-site
+# listing selector shapes; each family here reproduces one structural class:
+# - h3-title-news:  h3.title-news > a           (vnexpress.py:258-261 shape)
+# - article-walk:   article > (h3|h2) > a, headingless articles skipped
+#                   (vtcnews.py:231-243)
+# - http-filter:    div.list-news-category article a[href], keep http(s) only,
+#                   set-dedup (quandoinhandan.py:198-202; keep-first order
+#                   pinned where the reference's list(set()) is run-dependent)
+# - multi-class:    any of three title classes, first <a> each
+#                   (vietnamnet.py:227-231)
+# - newstitle-div:  div.categoryListItem container, div.newsTitle > a
+#                   (congnghevadoisong.py:193-201)
+LISTING_FAMILY = {
+    "vnx": "h3-title-news", "dtr": "h3-title-news", "btt": "h3-title-news",
+    "bdt": "h3-title-news",
+    "btu": "article-walk", "thp": "article-walk",
+    "qdn": "http-filter",
+    "vnn": "multi-class",
+    "cnd": "newstitle-div",
+}
+
+_VNN_TITLE_CLASSES = ("horizontalPost__main-title", "vnn-title", "title-bold")
 
 _WORDS = (
     "tin tức thời sự kinh doanh thế giới giáo dục thể thao công nghệ đời sống "
@@ -158,6 +182,8 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  max_depth=s(3), crawl_delay_s=1.0),
         HostSpec("bdt1.example.vn", "bdt", n_types=s(2), links_per_page=4,
                  max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("cnd1.example.vn", "cnd", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
 
@@ -227,6 +253,8 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         if page == 1:
             return f"https://{host}/{slug}/"
         return f"https://{host}/{slug}/p{page}"
+    if kind == "slug-p":
+        return f"https://{host}/{slug}/p{page}"
     raise ValueError(kind)
 
 
@@ -292,15 +320,62 @@ def _canonical_article(cfg: WebConfig, host: str, url: str) -> str:
 
 
 def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
+    """Render a listing page in the host profile's LISTING_FAMILY markup.
+
+    Every family ships decoy elements its reference selector must skip
+    (headingless <article>, javascript:/#fragment hrefs, off-class titles) —
+    the parser's structural filter is part of the spec, not an accident.
+    """
     links = listing_links(cfg, host, type_id, page)
     spec = cfg.spec(host)
     if not links:
         return "<html><body><div class='list-news'></div></body></html>"
-    anchors = "".join(
-        f'<h3 class="title-news"><a href="{u}">bài {i}</a></h3>' for i, u in enumerate(links)
-    )
+    fam = LISTING_FAMILY[spec.profile]
+    if fam == "h3-title-news":
+        anchors = "".join(
+            f'<h3 class="title-news"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        )
+        body = f"<div class='list-news'>{anchors}</div>"
+    elif fam == "article-walk":
+        # vtcnews.py:231-243: article tags, first h3-or-h2 heading, its <a>;
+        # a headingless article (ad slot) contributes nothing
+        items = []
+        for i, u in enumerate(links):
+            tag = "h3" if i % 2 == 0 else "h2"
+            items.append(f'<article><{tag}><a href="{u}">bài {i}</a></{tag}></article>')
+        items.insert(0, '<article><div class="ad-slot">quảng cáo</div></article>')
+        body = "".join(items)
+    elif fam == "http-filter":
+        # quandoinhandan.py:198-202: article a[href] under the category list,
+        # http(s)-prefixed hrefs only — javascript:/fragment decoys dropped
+        items = ['<article><a href="javascript:void(0)">xem thêm</a></article>']
+        items += [
+            f'<article><a href="{u}">bài {i}</a></article>'
+            for i, u in enumerate(links)
+        ]
+        items.append('<article><a href="#top">đầu trang</a></article>')
+        body = f'<div class="list-news-category">{"".join(items)}</div>'
+    elif fam == "multi-class":
+        # vietnamnet.py:227-231: three interchangeable title classes; an
+        # off-class title must not match
+        items = [
+            f'<h3 class="{_VNN_TITLE_CLASSES[i % 3]}"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        ]
+        items.append('<h3 class="other-title"><a href="/khuyen-mai/uu-dai">ưu đãi</a></h3>')
+        body = "".join(items)
+    elif fam == "newstitle-div":
+        # congnghevadoisong.py:193-201: container div, div.newsTitle > a
+        items = "".join(
+            f'<div class="newsTitle"><a href="{u}">bài {i}</a></div>'
+            for i, u in enumerate(links)
+        )
+        body = f'<div class="categoryListItem category_2">{items}</div>'
+    else:
+        raise ValueError(fam)
     marker = "<!--one-shot-->" if spec.one_shot else ""
-    return f"<html><body>{marker}<div class='list-news'>{anchors}</div></body></html>"
+    return f"<html><body>{marker}{body}</body></html>"
 
 
 def _sentence(cfg: WebConfig, key: str, n_words: int) -> str:
@@ -399,10 +474,24 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
             # title travels in the ATTRIBUTE, not the element text
             # (baodantoc.py:141: soup.find('h1', class_='news-title')['title'])
             parts.append(f'<h1 class="news-title" title="{f["title"]}">Chi tiết bài viết</h1>')
+        elif p == "cnd":
+            parts.append(f'<h1 class="postTitle">{f["title"]}</h1>')
         else:
             parts.append(f'<h1 class="title-detail">{f["title"]}</h1>')
-    parts.append(f'<span class="date">{f["date_raw"]}</span>')
-    parts.append(f'<p class="description">{f["description"]}</p>')
+    if p == "cnd":
+        # congnghevadoisong.py:118-121: description matched by a STYLE lambda
+        # (bold + justify); a justify-only decoy must not match
+        parts.append(f'<span class="newsDate">{f["date_raw"]}</span>')
+        parts.append('<p style="text-align: justify;">Một đoạn trang trí.</p>')
+        parts.append(
+            f'<p style="font-weight: bold; text-align: justify;">{f["description"]}</p>'
+        )
+        h_a = stable_hash(f"cndauth|{f['canonical_url']}", cfg.seed)
+        if h_a % 5 != 0:  # 1/5 articles authorless -> parser defaults to ""
+            parts.append(f'<span class="link-source-text-name">{f["author"]}</span>')
+    else:
+        parts.append(f'<span class="date">{f["date_raw"]}</span>')
+        parts.append(f'<p class="description">{f["description"]}</p>')
     if p in ("dtr", "btt", "btu"):
         parts.append(f'<div class="author-name">{f["author"]}</div>')
     if p == "vnn":
@@ -425,7 +514,13 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
         parts.append(f'<span class="author-name">{f["author"]}</span>')
     if p == "vnn" and f["hero_inline"]:
         parts.append(f'<img class="img-content" src="{f["hero_inline"]}"/>')
-    parts.append('<article class="content-body">')
+    if p == "cnd":
+        # content container is div.postRickText whose FIRST paragraph repeats
+        # the description — congnghevadoisong.py:124-126 skips paragraphs[0]
+        parts.append('<div class="postRickText">')
+        parts.append(f'<p class="Normal">{f["description"]}</p>')
+    else:
+        parts.append('<article class="content-body">')
     img_by_pos: dict[int, list[str]] = {}
     for pos, src in f["images"]:
         img_by_pos.setdefault(pos, []).append(src)
@@ -444,7 +539,7 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
         for src in img_by_pos.get(i, []):
             if p in ("vnx", "dtr"):
                 parts.append(f'<img class="lazy" data-src="{src}"/>')
-            elif p in ("btt", "qdn", "thp", "bdt"):
+            elif p in ("btt", "qdn", "thp", "bdt", "cnd"):
                 parts.append(f'<img src="{src}"/>')
             elif p == "btu":
                 # images live in figure.image wrappers (baotintuc.py:193-199)
@@ -482,7 +577,7 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
         if h_a % 4 == 0:
             parts.append('<p class="Normal"><strong>TIN, ẢNH: Phóng viên thường trú</strong></p>')
         parts.append(f'<p class="Normal"><strong>{f["author"]}</strong></p>')
-    parts.append("</article>")
+    parts.append("</div>" if p == "cnd" else "</article>")
     if spec.profile in ("vnx", "vnn") and f["comments"]:
         cmts = "".join(f'<div class="comment_content">{c}</div>' for c in f["comments"])
         parts.append(f'<div class="box_comment">{cmts}</div>')
@@ -544,6 +639,9 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
         m = re.search(r"-(\d+)/$", path)
         if m:
             return int(m.group(1)), 1
+        m = re.search(r"-(\d+)/p(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "slug-p":
         m = re.search(r"-(\d+)/p(\d+)$", path)
         return int(m.group(1)), int(m.group(2))
     raise ValueError(url)

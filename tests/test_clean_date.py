@@ -73,3 +73,33 @@ def test_published_ts(spark):
     df = spark.createDataFrame([("04/10/2024, 16:40 (GMT+7)",)], "clean string")
     row = df.select(published_ts_col(F.col("clean")).alias("ts")).collect()[0]
     assert str(row["ts"]) == "2024-10-04 16:40:00"
+
+
+def test_nfc_prepass_on_nfd_inputs(spark):
+    """Real corpora may arrive NFD: the Vietnamese literals in the regex
+    pipeline ('Cập nhật lúc', 'Thứ', 'lúc') only match their NFC forms.
+    The nfc=True pre-pass makes the column pipeline equal the Python spec
+    (which normalizes internally, reference service_utils.py:108) on
+    decomposed inputs."""
+    import unicodedata
+
+    from crawler_news_spark.functions.clean_date import clean_date_py, clean_date_staged
+
+    vectors = [
+        "Cập nhật lúc 09:15 04/10/2024",
+        "Thứ Sáu, 04/10/2024 16:40:00 +07:00",
+        "Chủ Nhật, ngày 4/3/2024 - 16:40",
+        "4/3/2024 lúc 16:40",
+    ]
+    nfd = [unicodedata.normalize("NFD", v) for v in vectors]
+    assert nfd != vectors  # inputs really are decomposed
+    df = spark.createDataFrame([(v,) for v in nfd], "raw string")
+    got = {r["raw"]: r["clean"] for r in
+           clean_date_staged(df, "raw", "clean", nfc=True).collect()}
+    for raw_nfd, raw in zip(nfd, vectors):
+        assert got[raw_nfd] == clean_date_py(raw), raw
+    # without the pre-pass the NFD weekday literal fails to strip (pick a
+    # vector whose branch does NOT rewrite the whole string)
+    df2 = spark.createDataFrame([(nfd[2],)], "raw string")
+    plain = clean_date_staged(df2, "raw", "clean").collect()[0]["clean"]
+    assert plain != clean_date_py(vectors[2])

@@ -232,3 +232,114 @@ def test_vnn_author_nested_box_chain():
     assert parse_article(link, "vnn", "https://h")["author"] == "Tác Giả Link"
     none = tpl.format(box="")
     assert parse_article(none, "vnn", "https://h")["author"] == ""
+
+
+def test_listing_article_walk_family():
+    """article > first h3-or-h2 > a; headingless articles (ad slots) skipped
+    (vtcnews.py:231-243)."""
+    html = (
+        "<html><body>"
+        '<article><div class="ad-slot">quảng cáo</div></article>'
+        '<article><h3><a href="https://h/x/bai-viet-1000001.html">a</a></h3></article>'
+        '<article><h2><a href="https://h/x/bai-viet-1000002.html">b</a></h2></article>'
+        "</body></html>"
+    )
+    links, term = parse_listing(html)
+    assert links == [
+        "https://h/x/bai-viet-1000001.html",
+        "https://h/x/bai-viet-1000002.html",
+    ] and not term
+
+
+def test_listing_http_filter_set_dedup_family():
+    """div.list-news-category article a[href]: http(s)-only + first-occurrence
+    dedup (quandoinhandan.py:198-202)."""
+    html = (
+        '<html><body><div class="list-news-category">'
+        '<article><a href="javascript:void(0)">xem thêm</a></article>'
+        '<article><a href="https://h/a/bai-viet-1000001.html">a</a></article>'
+        '<article><a href="#top">đầu trang</a></article>'
+        '<article><a href="https://h/a/bai-viet-1000002.html">b</a></article>'
+        '<article><a href="https://h/a/bai-viet-1000001.html">a-dup</a></article>'
+        "</div></body></html>"
+    )
+    links, _ = parse_listing(html)
+    assert links == [
+        "https://h/a/bai-viet-1000001.html",
+        "https://h/a/bai-viet-1000002.html",
+    ]
+
+
+def test_listing_multi_class_family():
+    """Any of the three title classes matches; off-class titles don't
+    (vietnamnet.py:227-231)."""
+    html = (
+        "<html><body>"
+        '<h3 class="horizontalPost__main-title"><a href="/a/bai-viet-1000001.html">a</a></h3>'
+        '<h3 class="vnn-title"><a href="/a/bai-viet-1000002.html">b</a></h3>'
+        '<h3 class="title-bold"><a href="/a/bai-viet-1000003.html">c</a></h3>'
+        '<h3 class="other-title"><a href="/khuyen-mai/uu-dai">decoy</a></h3>'
+        "</body></html>"
+    )
+    links, _ = parse_listing(html)
+    assert links == [
+        "/a/bai-viet-1000001.html",
+        "/a/bai-viet-1000002.html",
+        "/a/bai-viet-1000003.html",
+    ]
+
+
+def test_listing_newstitle_div_family():
+    """div.categoryListItem container, div.newsTitle > a
+    (congnghevadoisong.py:193-201)."""
+    html = (
+        '<html><body><div class="categoryListItem category_2">'
+        '<div class="newsTitle"><a href="https://h/c/bai-viet-1000009.html">x</a></div>'
+        '<div class="newsTitle"><a href="https://h/c/bai-viet-1000010.html">y</a></div>'
+        "</div></body></html>"
+    )
+    links, _ = parse_listing(html)
+    assert links == [
+        "https://h/c/bai-viet-1000009.html",
+        "https://h/c/bai-viet-1000010.html",
+    ]
+
+
+def test_cnd_style_lambda_desc_and_skip_first_paragraph():
+    """cnd family: description matched only by the style containing BOTH
+    bold and justify; content drops the first paragraph (it repeats the
+    description); author defaults to "" (congnghevadoisong.py:116-130)."""
+    html = (
+        '<html><body><h1 class="postTitle">Tít CND</h1>'
+        '<span class="newsDate">1/2/2023 10:00</span>'
+        '<p style="text-align: justify;">Decoy chỉ justify.</p>'
+        '<p style="font-weight: bold; text-align: justify;">Mô tả đậm</p>'
+        '<div class="postRickText">'
+        '<p class="Normal">Mô tả đậm</p>'
+        '<p class="Normal">Đoạn một.</p>'
+        '<img src="https://img/c1.jpg"/>'
+        '<p class="Normal">Đoạn hai.</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "cnd", "https://h")
+    assert rec["description"] == "Mô tả đậm"
+    assert rec["content"] == "Đoạn một.\nĐoạn hai."  # first para skipped
+    assert rec["contentImageUrls"] == ["https://img/c1.jpg"]
+    assert rec["author"] == ""  # no span.link-source-text-name
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"
+    with_author = html.replace(
+        "</body>", '<span class="link-source-text-name">PV CND</span></body>'
+    )
+    assert parse_article(with_author, "cnd", "https://h")["author"] == "PV CND"
+    # null guard: no h1.postTitle -> dropped
+    assert parse_article(html.replace("postTitle", "other"), "cnd", "https://h") is None
+
+
+def test_cnd_pagination_roundtrip():
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    for p in (1, 2, 7):
+        u = hs.listing_url(web, "cnd1.example.vn", 1, p)
+        assert u.endswith(f"/p{p}")
+        assert hs.parse_listing_url(web, "cnd1.example.vn", u) == (1, p)

@@ -142,3 +142,50 @@ def test_export_json(spark, tmp_path):
             with open(os.path.join(out, fn)) as f:
                 rows += [json.loads(l) for l in f if l.strip()]
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_upload_api_sink_contract(spark, tmp_path):
+    """S8 upload-API sink: JSON spool + metadata POST + delete-on-200 /
+    keep-on-failure (service_utils.py:85-103; disabled in the reference at
+    base_crawler.py:60 — implemented here behind an injectable transport)."""
+    import json
+    import os
+
+    from crawler_news_spark.plans.sinks import upload_api_sink
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    # default stub transport: logs the POST, acks 200 -> spool dir removed
+    sink = upload_api_sink(spool)
+    sink(df, 0)
+    log = open(os.path.join(spool, "uploads.log")).read().splitlines()
+    assert len(log) == 1
+    entry = json.loads(log[0])
+    assert entry["data"] == {"data": "NEWS_INFO"}
+    assert not os.path.exists(os.path.join(spool, "batch-0"))
+
+    # failing transport keeps the spool dir for retry, like the reference
+    posts = []
+
+    def failing(path, data):
+        posts.append((path, data))
+        return 503
+
+    sink2 = upload_api_sink(spool, transport=failing)
+    sink2(df, 1)
+    assert posts and os.path.exists(os.path.join(spool, "batch-1"))
+    # the kept spool really contains the records
+    rows = spark.read.json(os.path.join(spool, "batch-1")).collect()
+    assert {r["id"] for r in rows} == {1, 2}
+
+    # foreachBatch integration: the same callable drives a streaming query
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("id long, v string").json(src)
+    q = stream.writeStream.foreachBatch(upload_api_sink(spool)).trigger(
+        availableNow=True
+    ).option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(60)
+    assert len(open(os.path.join(spool, "uploads.log")).read().splitlines()) >= 2
