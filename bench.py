@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "token_count",
     "lang_id",
     "quality_score",
+    "repetition_quality",
+    "decontaminate",
     "minhash_signatures",
     "minhash_near_dups",
     "simhash_near_dups",

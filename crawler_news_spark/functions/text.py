@@ -84,6 +84,57 @@ def md5_prefix_hash(text: Column, n: int = 1000) -> Column:
     return F.md5(F.substring(text, 1, n))
 
 
+def dup_ngram_frac_u(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021, App. A1.1): the
+    fraction of word n-grams that are repeats, micro-unit integerized.
+    Pure codegen: tokenize once, build the gram array with transform, and
+    compare sizes — 0 for documents shorter than n tokens."""
+    words = F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    nw = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), nw - n),
+        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+    )
+    total = F.size(grams).cast("double")
+    dup = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    return (
+        F.when(nw >= n, F.floor(dup * 1e6 + F.lit(0.5)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
+def top_word_frac_u(text: Column) -> Column:
+    """Fraction of tokens that are the single most frequent token (the
+    other Gopher repetition axis), micro-unit integerized.
+
+    Per-row mode without explode: sort the token array and fold it with a
+    (prev, run, best) accumulator — the longest equal-run in the sorted
+    array IS the top token count.  Whole-stage codegen, no shuffle."""
+    words = F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    nw = F.size(words)
+    sw = F.array_sort(words)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(a, w):
+        run = F.when(w == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    best = F.aggregate(sw, acc0, step)["best"]
+    return (
+        F.when(
+            nw > 0,
+            F.floor(best.cast("double") / nw.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+
+
 def datasource_of(url: Column) -> Column:
     """scheme://host prefix — '/'.join(url.split('/')[:3]) (vnexpress.py:235)."""
     return F.concat_ws("/", F.slice(F.split(url, "/"), 1, 3))

@@ -525,7 +525,99 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021): duplicate-3-gram
+    fraction + top-token fraction per document, fully codegen."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.trim(F.col("text"))).alias("n_words"),
+        TX.dup_ngram_frac_u(F.col("text"), 3).alias("dup_3gram_u"),
+        TX.top_word_frac_u(F.col("text")).alias("top_word_u"),
+    )
+
+
+SQL_REPETITION = r"""
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS nw FROM arr
+    ), grams AS (
+      SELECT a.doc_id,
+             a.w[CAST(i AS INT)] || ' ' || a.w[CAST(i AS INT) + 1]
+               || ' ' || a.w[CAST(i AS INT) + 2] AS g
+      FROM arr a, unnest(generate_series(1, len(a.w) - 2)) t(i)
+    ), gstat AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+      FROM grams GROUP BY doc_id
+    ), words AS (
+      SELECT a.doc_id, a.w[CAST(i AS INT)] AS word
+      FROM arr a, unnest(generate_series(1, len(a.w))) t(i)
+    ), wtop AS (
+      SELECT doc_id, max(c) AS top FROM (
+        SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.nw AS n_words,
+           coalesce(
+             CAST(floor((1.0 - CAST(g.dist AS DOUBLE) / g.total) * 1e6 + 0.5) AS BIGINT),
+             0) AS dup_3gram_u,
+           coalesce(
+             CAST(floor(CAST(w.top AS DOUBLE) / b.nw * 1e6 + 0.5) AS BIGINT),
+             0) AS top_word_u
+    FROM base b
+    LEFT JOIN gstat g USING (doc_id)
+    LEFT JOIN wtop w USING (doc_id)
+"""
+
+
 SQL_FINGERPRINT_Q = f"SELECT doc_id, {TX.SQL_FINGERPRINT} AS fp FROM documents"
+
+
+def _word_ngrams(docs, n: int):
+    """(doc_id, gram) — DISTINCT word n-grams per document, pure codegen."""
+    words = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
+    )
+    safe = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", F.explode(safe).alias("g"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style reports): corpus documents
+    sharing word-5-grams with an eval set (here: doc_id < 10).  The eval-set
+    gram table broadcasts; the corpus side streams through one hash join —
+    the 100 TB shape (the benchmark is always tiny relative to the corpus).
+    """
+    docs = load(spark, sf_dir, "documents")
+    bench = _word_ngrams(docs.filter(F.col("doc_id") < 10), 5).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    corpus = _word_ngrams(docs.filter(F.col("doc_id") >= 10), 5)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+SQL_DECONTAMINATE = r"""
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(w[CAST(i AS INT):CAST(i AS INT) + 4], 'string_agg', ' ') AS g
+      FROM arr, unnest(generate_series(1, len(w) - 4)) t(i)
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM grams c JOIN grams b USING (g)
+    WHERE b.doc_id < 10 AND c.doc_id >= 10
+    GROUP BY c.doc_id, b.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1023,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "repetition_quality": q_repetition_quality,
+        "decontaminate": q_decontaminate,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1064,6 +1158,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
         "fingerprint": SQL_FINGERPRINT_Q,
+        "repetition_quality": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
         "minhash_signatures": SQL_MINHASH_SIGS,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,

@@ -195,3 +195,60 @@ def test_winnow_df_cap_bounds_boilerplate(spark):
     same = {(r["doc_a"], r["doc_b"]) for r in
             WN.winnow_overlap_pairs(docs, min_shared=3, max_df=99_999).collect()}
     assert same == uncapped
+
+
+def test_repetition_quality_planted(spark):
+    """Gopher repetition signals: a looping doc scores high dup-3gram and
+    top-word fractions; diverse text scores low; short/empty docs are 0."""
+    from crawler_news_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # all same token
+        (1, "one two three four five six seven"),      # all distinct
+        (2, "ab cd " * 10),                            # repeating bigram loop
+        (3, "xy zz"),                                  # < 3 tokens
+        (4, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.dup_ngram_frac_u(F.col("text"), 3).alias("dup"),
+            TX.top_word_frac_u(F.col("text")).alias("top"),
+        ).collect()
+    }
+    # doc 0: 4 grams all identical -> dup = 1 - 1/4 = 0.75; top = 6/6
+    assert got[0]["dup"] == 750_000 and got[0]["top"] == 1_000_000
+    # doc 1: 5 distinct grams -> 0; top word 1/7
+    assert got[1]["dup"] == 0 and got[1]["top"] == round(1 / 7 * 1e6)
+    # doc 2: 20 tokens -> 18 grams, only 2 distinct -> 1 - 2/18
+    assert got[2]["dup"] == round((1 - 2 / 18) * 1e6) and got[2]["top"] == 500_000
+    # short/empty -> zeros
+    assert got[3]["dup"] == 0 and got[3]["top"] == 500_000
+    assert got[4]["dup"] == 0 and got[4]["top"] == 0
+
+
+def test_decontaminate_planted(spark, tmp_path):
+    """Decontamination finds the corpus doc that copies a benchmark span;
+    clean docs stay out."""
+    import os
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten"),
+        # doc 12 copies an 8-token span of bench doc 0 -> 4 shared 5-grams
+        (12, "intro words then alpha beta gamma delta epsilon zeta eta theta done"),
+        (13, "totally unrelated content with no overlap at all here friend"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    from crawler_news_spark.queries import q_decontaminate
+
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+           for r in q_decontaminate(spark, sf).collect()}
+    assert got == {(12, 0): 4}
