@@ -67,6 +67,7 @@ _RE_MULTI_CLASS = re.compile(
 )
 _RE_PLAIN_ARTICLE_A = re.compile(r'<article><a href="(.*?)">')
 _RE_NEWSTITLE_DIV = re.compile(r'<div class="newsTitle"><a href="(.*?)">')
+_RE_H2_TITLE = re.compile(r'<h2 class="title"><a href="(.*?)">')
 # cnd (congnghevadoisong.py:116-126) article selectors
 _RE_TITLE_CND = re.compile(r'<h1 class="postTitle">(.*?)</h1>')
 _RE_DATE_CND = re.compile(r'<span class="newsDate">(.*?)</span>')
@@ -373,6 +374,9 @@ def parse_listing(html: str) -> tuple[list[str], bool]:
     - multi-class titles (vietnamnet.py:227-231);
     - div.newsTitle anchors under the category container
       (congnghevadoisong.py:193-201);
+    - h2.title anchors keeping ONLY relative ('/'-prefixed) hrefs — the
+      site prepends its base; absolute outbound links are dropped
+      (kienthuc.py:244-253; absolutization happens downstream, F5);
     - plain article > a[href] with the http(s) filter + first-occurrence
       dedup (quandoinhandan.py:198-202 — the reference's list(set()) order
       is run-dependent; keep-first document order is the pinned spec).
@@ -387,6 +391,8 @@ def parse_listing(html: str) -> tuple[list[str], bool]:
         links = _RE_MULTI_CLASS.findall(html)
     if not links:
         links = _RE_NEWSTITLE_DIV.findall(html)
+    if not links and '<section class="cat-listnews' in html:
+        links = [u for u in _RE_H2_TITLE.findall(html) if u.startswith("/")]
     if not links and '<div class="list-news-category">' in html:
         seen: set[str] = set()
         links = []

@@ -73,9 +73,12 @@ CONTENT_JOIN = {  # §2.3 P3
 #                   (vietnamnet.py:227-231)
 # - newstitle-div:  div.categoryListItem container, div.newsTitle > a
 #                   (congnghevadoisong.py:193-201)
+# - relative-only:  section.cat-listnews container, h2.title > a, keeping
+#                   ONLY hrefs starting with '/' (absolute decoys dropped;
+#                   the site prepends its base) (kienthuc.py:244-253)
 LISTING_FAMILY = {
     "vnx": "h3-title-news", "dtr": "h3-title-news", "btt": "h3-title-news",
-    "bdt": "h3-title-news",
+    "bdt": "relative-only",
     "btu": "article-walk", "thp": "article-walk",
     "qdn": "http-filter",
     "vnn": "multi-class",
@@ -134,7 +137,9 @@ class WebConfig:
     null_title_mod: int = 17  # 1/17 articles have no title -> dropped
     dup_prev_page_mod: int = 3  # hosts h%3==0 repeat one link from prior page
     cross_type_dup_mod: int = 7  # 1/7 links point into type 0 (cross-type dup)
-    relative_link_profiles: tuple[str, ...] = ("vnn",)  # emit relative hrefs
+    # emit relative hrefs (vnn absolutizes downstream; bdt's relative-only
+    # listing family REQUIRES them — absolute hrefs are dropped by design)
+    relative_link_profiles: tuple[str, ...] = ("vnn", "bdt")
     # page_weight scales article length + HTML boilerplate toward realistic
     # news-page sizes (real articles are 100-400 KB with nav/script cruft;
     # weight=1 keeps unit tests fast, bench uses heavier pages so the
@@ -372,6 +377,17 @@ def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> s
             for i, u in enumerate(links)
         )
         body = f'<div class="categoryListItem category_2">{items}</div>'
+    elif fam == "relative-only":
+        # kienthuc.py:244-253: h2.title anchors, keep hrefs starting with
+        # '/' only — the absolute outbound decoy must be dropped
+        items = [
+            f'<h2 class="title"><a href="{u}">bài {i}</a></h2>'
+            for i, u in enumerate(links)
+        ]
+        items.append(
+            '<h2 class="title"><a href="https://ads.example.com/sponsor">qc</a></h2>'
+        )
+        body = f'<section class="cat-listnews hzol-clear">{"".join(items)}</section>'
     else:
         raise ValueError(fam)
     marker = "<!--one-shot-->" if spec.one_shot else ""

@@ -343,3 +343,17 @@ def test_cnd_pagination_roundtrip():
         u = hs.listing_url(web, "cnd1.example.vn", 1, p)
         assert u.endswith(f"/p{p}")
         assert hs.parse_listing_url(web, "cnd1.example.vn", u) == (1, p)
+
+
+def test_listing_relative_only_family():
+    """section.cat-listnews h2.title > a keeping ONLY '/'-prefixed hrefs —
+    the absolute outbound decoy is dropped (kienthuc.py:244-253)."""
+    html = (
+        '<html><body><section class="cat-listnews hzol-clear">'
+        '<h2 class="title"><a href="/a/bai-viet-1000001.html">x</a></h2>'
+        '<h2 class="title"><a href="https://ads.example.com/sponsor">qc</a></h2>'
+        '<h2 class="title"><a href="/a/bai-viet-1000002.html">y</a></h2>'
+        "</section></body></html>"
+    )
+    links, _ = parse_listing(html)
+    assert links == ["/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]

@@ -151,3 +151,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_repetition_quality_is_shuffle_free(spark):
+    """Both repetition signals are per-row array folds — the plan must be a
+    pure projection over the scan: no Exchange, no generator explode."""
+    from crawler_news_spark.queries import q_repetition_quality
+
+    df = q_repetition_quality(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — the fold stays in-row
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The eval-set gram table must broadcast: at 100 TB the corpus side
+    streams through one hash join and never shuffles on the gram key."""
+    from crawler_news_spark.queries import q_decontaminate
+
+    df = q_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
