@@ -84,12 +84,20 @@ def md5_prefix_hash(text: Column, n: int = 1000) -> Column:
     return F.md5(F.substring(text, 1, n))
 
 
-def dup_ngram_frac_u(text: Column, n: int = 3) -> Column:
+def dup_ngram_frac_u(text: Column, n: int = 3, tokens: Column | None = None) -> Column:
     """Gopher-style repetition signal (Rae et al. 2021, App. A1.1): the
     fraction of word n-grams that are repeats, micro-unit integerized.
-    Pure codegen: tokenize once, build the gram array with transform, and
-    compare sizes — 0 for documents shorter than n tokens."""
-    words = F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    Pure codegen — 0 for documents shorter than n tokens.
+
+    Pass ``tokens`` as a STAGED (named) token-array column on long-document
+    corpora: element accesses inside the gram lambda re-evaluate an inlined
+    tokenizer once per access (n gets x n_grams regex runs per row —
+    measured 8x on the 5-gram sibling); an attribute reference is free."""
+    words = (
+        tokens
+        if tokens is not None
+        else F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    )
     nw = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), nw - n),
@@ -103,14 +111,18 @@ def dup_ngram_frac_u(text: Column, n: int = 3) -> Column:
     )
 
 
-def top_word_frac_u(text: Column) -> Column:
+def top_word_frac_u(text: Column, tokens: Column | None = None) -> Column:
     """Fraction of tokens that are the single most frequent token (the
     other Gopher repetition axis), micro-unit integerized.
 
     Per-row mode without explode: sort the token array and fold it with a
     (prev, run, best) accumulator — the longest equal-run in the sorted
     array IS the top token count.  Whole-stage codegen, no shuffle."""
-    words = F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    words = (
+        tokens
+        if tokens is not None
+        else F.regexp_extract_all(F.trim(text), F.lit(r"\S+"), F.lit(0))
+    )
     nw = F.size(words)
     sw = F.array_sort(words)
     acc0 = F.struct(
