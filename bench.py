@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_quality",
     "decontaminate",
+    "top_keywords",
     "minhash_signatures",
     "minhash_near_dups",
     "simhash_near_dups",

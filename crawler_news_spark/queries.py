@@ -619,6 +619,55 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_top_keywords(spark, sf_dir):
+    """Per-document top-3 keywords: highest term frequency among words that
+    are not corpus-wide boilerplate (document frequency <= 25% of docs).
+    Integer-only scoring (tf desc, word asc tie-break) — no float idf, so
+    the oracle is exact.  Shape: one explode + two hash aggregates + one
+    join on word; the df dim is vocab-sized and AQE-broadcast when small.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    max_df = max(1, n_docs // 4)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.trim(F.col("text"))), F.lit(r"[a-z]{3,}"), F.lit(0))
+        ).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("_df"))
+    kept = tf.join(dfreq.filter(F.col("_df") <= max_df).select("w"), "w")
+    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("w"))
+    return (
+        kept.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("keyword"), "tf", "rank")
+    )
+
+
+def _sql_top_keywords() -> str:
+    return r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '[a-z]{3,}')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+    ), dfreq AS (
+      SELECT w, count(*) AS _df FROM tf GROUP BY w
+    ), kept AS (
+      SELECT t.* FROM tf t JOIN dfreq d USING (w)
+      WHERE d._df <= greatest(1, (SELECT count(*) FROM documents) // 4)
+    ), ranked AS (
+      SELECT doc_id, w, tf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rank
+      FROM kept
+    )
+    SELECT doc_id, w AS keyword, tf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
 SQL_DECONTAMINATE = r"""
     WITH arr AS (
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM documents
@@ -1131,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_quality": q_repetition_quality,
         "decontaminate": q_decontaminate,
+        "top_keywords": q_top_keywords,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1174,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT_Q,
         "repetition_quality": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
+        "top_keywords": _sql_top_keywords(),
         "minhash_signatures": SQL_MINHASH_SIGS,
         "minhash_lsh_pairs": SQL_MINHASH_PAIRS,
         "minhash_near_dups": SQL_MINHASH_NEAR_DUPS,

@@ -252,3 +252,33 @@ def test_decontaminate_planted(spark, tmp_path):
     got = {(r["doc_id"], r["bench_id"]): r["n_shared"]
            for r in q_decontaminate(spark, sf).collect()}
     assert got == {(12, 0): 4}
+
+
+def test_top_keywords_planted(spark, tmp_path):
+    """Boilerplate words (df > 25% of docs) are excluded; ranking is
+    (tf desc, word asc) deterministic."""
+    import os
+
+    rows = [
+        (0, "common alpha alpha alpha beta beta zeta"),
+        (1, "common gamma gamma delta"),
+        (2, "common epsilon"),
+        (3, "common theta"),
+        (4, "common iota"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    from crawler_news_spark.queries import q_top_keywords
+
+    got = {}
+    for r in q_top_keywords(spark, sf).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["keyword"], r["tf"]))
+    for v in got.values():
+        v.sort()
+    # 'common' appears in 5/5 docs -> df 5 > 5//4=1 -> excluded everywhere
+    assert all(w != "common" for v in got.values() for _, w, _ in v)
+    assert got[0] == [(1, "alpha", 3), (2, "beta", 2), (3, "zeta", 1)]
+    assert got[1] == [(1, "gamma", 2), (2, "delta", 1)]
