@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "ann_recall",
     "embedding_near_dups_lsh",
     "media_metadata",
+    "media_resize",
+    "media_features",
     "pricing_summary",
     "sessionize",
     "windowed_counts",

@@ -82,6 +82,72 @@ def decode_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     return media.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+def resize_plan(meta: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Aspect-preserving fit into (max_w, max_h) for image rows — the
+    resize step's real Spark-side plumbing (integer arithmetic, exact in
+    any engine); the pixel transform itself belongs to the stubbed codec
+    kernel (decode_media real_codecs path).
+
+    new_w = floor(w * s), new_h = floor(h * s) with s = min(max_w/w,
+    max_h/h, 1) computed branch-free in integers: the limiting dimension
+    decides, never upscale.
+    """
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+
+    def idiv(a, b):  # exact floor-div for positive ints (no float rounding)
+        return ((a - F.pmod(a, b)) / b).cast("int")
+
+    # scale by width limit:  (w', h') = (max_w, floor(h*max_w/w))
+    by_w = F.struct(
+        F.lit(max_w).cast("int").alias("w"), idiv(h * max_w, w).alias("h")
+    )
+    by_h = F.struct(
+        idiv(w * max_h, h).alias("w"), F.lit(max_h).cast("int").alias("h")
+    )
+    keep = F.struct(w.cast("int").alias("w"), h.cast("int").alias("h"))
+    fits = (w <= max_w) & (h <= max_h)
+    width_limits = h * max_w <= max_h * w  # width is the binding side (exact)
+    target = F.when(fits, keep).when(width_limits, by_w).otherwise(by_h)
+    return (
+        meta.filter(F.col("media_kind") == "image")
+        .withColumn("_t", target)
+        .select(
+            "doc_id", "width", "height",
+            F.col("_t.w").alias("target_w"), F.col("_t.h").alias("target_h"),
+        )
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: a deterministic pseudo-embedding per
+    payload (md5-chunk integers in [-1000, 1000]) in place of the real
+    vision/audio encoder (absent in this container — the honest stub,
+    same contract as decode_media).  One Arrow-batched pass; schema and
+    partitioning identical to a real encoder's output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["media_bytes"]:
+                hx = hashlib.md5(bytes(b)).hexdigest()
+                vec = []
+                for d in range(dim):
+                    ch = hashlib.md5(f"{hx}:{d}".encode()).hexdigest()[:8]
+                    vec.append(int(ch, 16) % 2001 - 1000)
+                feats.append(vec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["media_kind"],
+                    "feature_q": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, media_kind string, feature_q array<long>"
+    )
+
+
 def frame_sample(meta: DataFrame, every_n: int = 24) -> DataFrame:
     """Frame-sampling plan for video rows — pure built-ins (sequence+explode)."""
     return (

@@ -1090,6 +1090,59 @@ def q_frame_sample(spark, sf_dir):
     return MM.frame_sample(MM.decode_media(MM.synth_media(docs)), every_n=24)
 
 
+def q_media_resize(spark, sf_dir):
+    """Aspect-preserving resize plan for image rows (integer-exact)."""
+    docs = load(spark, sf_dir, "documents")
+    return MM.resize_plan(MM.decode_media(MM.synth_media(docs)), 224, 224)
+
+
+# stub metadata: width = 16 + h2 % 1920, height = 16 + h3 % 1080 from the
+# 2nd/3rd 32-bit md5 chunks (operators/multimodal.py decode_media)
+SQL_MEDIA_RESIZE = """
+    WITH meta AS (
+      SELECT doc_id,
+             16 + CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % 1920 AS w,
+             16 + CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % 1080 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
+                     WHEN h * 224 <= 224 * w THEN 224
+                     ELSE (w * 224 - ((w * 224) % h)) / h END AS INT) AS target_w,
+           CAST(CASE WHEN w <= 224 AND h <= 224 THEN h
+                     WHEN h * 224 <= 224 * w THEN (h * 224 - ((h * 224) % w)) / w
+                     ELSE 224 END AS INT) AS target_h
+    FROM meta
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Feature-extraction plumbing: deterministic md5-derived pseudo-
+    embedding per media payload (the real encoder is the stubbed kernel).
+    Exploded to (doc_id, d, v) for the gate — array columns stringify
+    engine-specifically (list vs numpy repr) in the hash compare."""
+    docs = load(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.synth_media(docs), dim=16)
+    return feats.select(
+        "doc_id", "media_kind", F.posexplode("feature_q").alias("d", "v")
+    )
+
+
+def _sql_media_features(dim: int = 16) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, CAST(concat('0x', substr(md5(md5(text) || ':{d}'), 1, 8)) "
+        f"AS BIGINT) % 2001 - 1000 AS v, doc_id FROM documents"
+        for d in range(dim)
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+           CAST(d AS INT) AS d, v
+    FROM ({rows})
+"""
+
+
 # n_frames = 1 + (first 32 md5 bits) % 240; payload bytes are the utf-8 text
 # (synth_media), so DuckDB's string md5 sees the identical bytes
 SQL_FRAME_SAMPLE = """
@@ -1193,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
+        "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -1238,6 +1293,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": SQL_MEDIA_META,
         "frame_sample": SQL_FRAME_SAMPLE,
+        "media_resize": SQL_MEDIA_RESIZE,
+        "media_features": _sql_media_features(16),
         "winnow_pairs": _sql_winnow_pairs(20, 1000),
         "crawl_flagship": _sql_crawl_flagship(),
     }

@@ -282,3 +282,28 @@ def test_top_keywords_planted(spark, tmp_path):
     assert all(w != "common" for v in got.values() for _, w, _ in v)
     assert got[0] == [(1, "alpha", 3), (2, "beta", 2), (3, "zeta", 1)]
     assert got[1] == [(1, "gamma", 2), (2, "delta", 1)]
+
+
+def test_media_resize_plan_invariants(spark, planted_docs):
+    """Resize plan: never upscale, fits the 224x224 box, aspect preserved
+    within integer floor error."""
+    meta = MM.decode_media(MM.synth_media(planted_docs))
+    rows = MM.resize_plan(meta, 224, 224).collect()
+    assert rows
+    for r in rows:
+        w, h, tw, th = r["width"], r["height"], r["target_w"], r["target_h"]
+        assert 1 <= tw <= 224 and 1 <= th <= 224
+        assert tw <= w and th <= h  # never upscale
+        if w > 224 or h > 224:
+            assert tw == 224 or th == 224  # binding side hits the box
+            # floor error bound: |tw/th - w/h| small -> cross-products close
+            assert abs(tw * h - w * th) <= max(w, h)
+
+
+def test_media_features_deterministic(spark, planted_docs):
+    a = {(r["doc_id"], tuple(r["feature_q"]))
+         for r in MM.extract_features(MM.synth_media(planted_docs)).collect()}
+    b = {(r["doc_id"], tuple(r["feature_q"]))
+         for r in MM.extract_features(MM.synth_media(planted_docs)).collect()}
+    assert a == b and all(len(v) == 16 for _, v in a)
+    assert all(-1000 <= x <= 1000 for _, v in a for x in v)
