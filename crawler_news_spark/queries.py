@@ -935,50 +935,62 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """In-contract ANN quality: per-query recall of the LSH top-k against
-    the exact top-k (joins of the two registry outputs — fully oracled)."""
+    """In-contract ANN quality: per-query recall of BOTH approximate paths
+    (LSH and IVF) against the exact top-k — joins of the registry outputs,
+    fully oracled."""
     emb = load(spark, sf_dir, "embeddings")
     exact = SIM.cosine_topk(emb, n_queries=5, k=10).select("query_id", "neighbor_id")
-    approx = SIM.lsh_bucket_topk(emb, n_queries=5, k=10).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count("*").alias("n_exact"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            "n_exact",
-            F.floor(
-                F.coalesce(F.col("n_hits"), F.lit(0)) * 1_000_000 / F.col("n_exact")
-                + F.lit(0.5)
-            ).cast("long").alias("recall_u"),
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    parts = []
+    for method, approx_df in (
+        ("lsh", SIM.lsh_bucket_topk(emb, n_queries=5, k=10)),
+        ("ivf", SIM.ivf_topk(emb, n_queries=5, k=10, n_clusters=16, n_probe=6)),
+    ):
+        hits = (
+            exact.join(approx_df.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
         )
-    )
+        parts.append(
+            base.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+                "n_exact",
+                F.floor(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) * 1_000_000
+                    / F.col("n_exact")
+                    + F.lit(0.5)
+                ).cast("long").alias("recall_u"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _sql_ann_recall(n_queries: int = 5, k: int = 10) -> str:
-    return f"""
-    WITH exact AS ({SIM.sql_cosine_topk(n_queries, k)}),
-    approx AS ({SIM.sql_lsh_topk(n_queries, k)}),
-    hits AS (
-      SELECT e.query_id, count(*) AS n_hits
-      FROM exact e JOIN approx a
-        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY e.query_id
-    ), base AS (
-      SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
-    )
-    SELECT b.query_id, coalesce(h.n_hits, 0) AS n_hits, b.n_exact,
+    def block(method: str, approx_sql: str) -> str:
+        return f"""
+    SELECT '{method}' AS method, b.query_id, coalesce(h.n_hits, 0) AS n_hits,
+           b.n_exact,
            CAST(floor(coalesce(h.n_hits, 0) * 1000000 / b.n_exact + 0.5) AS BIGINT)
              AS recall_u
-    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+    FROM base b LEFT JOIN (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e JOIN ({approx_sql}) a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    ) h ON h.query_id = b.query_id
+"""
+
+    return f"""
+    WITH exact AS ({SIM.sql_cosine_topk(n_queries, k)}),
+    base AS (
+      SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id
+    )
+    {block("lsh", SIM.sql_lsh_topk(n_queries, k))}
+    UNION ALL
+    {block("ivf", SIM.sql_ivf_topk(n_queries, k, n_clusters=16, n_probe=6, n_iter=2))}
 """
 
 
