@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "date_range_typed",
     "group_count",
     "top_revenue_nations",
+    "shipping_priority",
+    "length_percentiles",
     "order_priority_count",
 ]
 

@@ -464,6 +464,93 @@ SQL_TOP_REVENUE_NATIONS = """
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue — selective
+    filters on both sides reach the scans, the aggregate shuffles only the
+    filtered join output, and the global top-10 is a tiny final sort."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"])
+    )
+    agg = (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(cents).alias("revenue_c"))
+    )
+    w = Window.orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_c", "rank")
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+    WITH agg AS (
+      SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             o.o_orderpriority,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS revenue_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_c,
+           CAST(row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS INT) AS rank
+    FROM agg
+    ORDER BY revenue_c DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact rank-selected percentiles of document length per language —
+    deterministic (no interpolation): the p-th percentile is the value at
+    1-based rank ceil(p * n) in ascending order, identical in any engine."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    )
+    picks = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * frac), F.col("n_chars"))
+        ).alias(name)
+        for name, frac in picks
+    ]
+    return ranked.groupBy("lang").agg(F.max("n").alias("n_docs"), *aggs)
+
+
+SQL_LENGTH_PERCENTILES = """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN n_chars END) AS p99
+    FROM ranked GROUP BY lang
+"""
+
+
 def q_order_priority_count(spark, sf_dir):
     """TPC-H Q4-shaped existence semi-join: orders with at least one
     returned lineitem, counted per order priority."""
@@ -1239,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "top_revenue_nations": q_top_revenue_nations,
         "order_priority_count": q_order_priority_count,
+        "shipping_priority": q_shipping_priority,
+        "length_percentiles": q_length_percentiles,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1285,6 +1374,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": SQL_PIVOT,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "order_priority_count": SQL_ORDER_PRIORITY,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "length_percentiles": SQL_LENGTH_PERCENTILES,
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
