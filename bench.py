@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "top_revenue_nations",
     "shipping_priority",
     "length_percentiles",
+    "promo_revenue",
+    "supplier_geography",
     "order_priority_count",
 ]
 

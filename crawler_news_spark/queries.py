@@ -551,6 +551,74 @@ SQL_LENGTH_PERCENTILES = """
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: promo revenue share per month — part dim
+    broadcasts into the lineitem scan; the share ratio is computed in
+    exact integer arithmetic (micro-units), no float division."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias(
+                "promo_c"
+            ),
+            F.sum(cents).alias("total_c"),
+        )
+    )
+    # integer division (div), NOT the (x - pmod)/y double trick: the
+    # micro-unit numerator can exceed 2^53, where double division stops
+    # being exact
+    share = F.expr("(promo_c * 1000000L) div total_c")
+    return agg.select("ship_month", "promo_c", "total_c", share.alias("promo_share_u"))
+
+
+SQL_PROMO_REVENUE = """
+    WITH agg AS (
+      SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS promo_c,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT ship_month, promo_c, total_c,
+           CAST((promo_c * 1000000) // total_c AS BIGINT) AS promo_share_u
+    FROM agg
+"""
+
+
+def q_supplier_geography(spark, sf_dir):
+    """Supplier counts + account balance by region/nation (two broadcast
+    dims; exercises the supplier table end-to-end)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    bal_c = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        s.withColumn("bal_c", bal_c)
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_suppliers"), F.sum("bal_c").alias("acctbal_c"))
+    )
+
+
+SQL_SUPPLIER_GEOGRAPHY = """
+    SELECT r.r_name, n.n_name, count(*) AS n_suppliers,
+           CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_c
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
 def q_order_priority_count(spark, sf_dir):
     """TPC-H Q4-shaped existence semi-join: orders with at least one
     returned lineitem, counted per order priority."""
@@ -1328,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_count": q_order_priority_count,
         "shipping_priority": q_shipping_priority,
         "length_percentiles": q_length_percentiles,
+        "promo_revenue": q_promo_revenue,
+        "supplier_geography": q_supplier_geography,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1376,6 +1446,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_count": SQL_ORDER_PRIORITY,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "length_percentiles": SQL_LENGTH_PERCENTILES,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "supplier_geography": SQL_SUPPLIER_GEOGRAPHY,
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",
