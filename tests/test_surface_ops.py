@@ -189,3 +189,27 @@ def test_upload_api_sink_contract(spark, tmp_path):
     ).option("checkpointLocation", str(tmp_path / "ck")).start()
     q.awaitTermination(60)
     assert len(open(os.path.join(spool, "uploads.log")).read().splitlines()) >= 2
+
+
+def test_session_window_equals_lag_sessionize(spark):
+    """Spark's native session_window (streaming-ready) produces the same
+    per-user session partitioning as the registry's lag+running-sum
+    sessionize on batch data — the two forms are interchangeable, with
+    session_window being the watermark-compatible streaming path."""
+    from pyspark.sql import functions as F
+
+    from crawler_news_spark.queries import q_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    lag_based = q_sessionize(spark, sf)
+    # same number of sessions per user and same multiset of session sizes
+    a = sorted((r["user_id"], r["n_events"]) for r in native.collect())
+    b = sorted((r["user_id"], r["n_events"]) for r in lag_based.collect())
+    assert a == b
