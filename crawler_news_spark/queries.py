@@ -467,7 +467,13 @@ SQL_TOP_REVENUE_NATIONS = """
 def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped: top-10 unshipped orders by revenue — selective
     filters on both sides reach the scans, the aggregate shuffles only the
-    filtered join output, and the global top-10 is a tiny final sort."""
+    filtered join output, and the global top-10 is a distributed partial
+    top-k (TakeOrderedAndProject), never a single-task global window: each
+    task keeps its local top-10 and only 10 rows per partition reach the
+    driver.  Rank is then stamped on the k=10 collected rows driver-side
+    (O(k) work, no WindowExec anywhere in the plan)."""
+    from pyspark.sql import types as T
+
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
@@ -486,12 +492,15 @@ def q_shipping_priority(spark, sf_dir):
         )
         .agg(F.sum(cents).alias("revenue_c"))
     )
-    w = Window.orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_c", "rank")
+    # orderBy + limit plans TakeOrderedAndProject: per-partition bounded
+    # heaps, merge of 10-row heads — linear scan, no global sort/shuffle.
+    top = agg.orderBy(F.desc("revenue_c"), F.asc("l_orderkey")).limit(10)
+    rows = top.collect()  # exactly k=10 rows by construction
+    schema = T.StructType(
+        list(top.schema.fields) + [T.StructField("rank", T.IntegerType(), False)]
     )
+    ranked = [tuple(r) + (i + 1,) for i, r in enumerate(rows)]
+    return spark.createDataFrame(ranked, schema)
 
 
 SQL_SHIPPING_PRIORITY = """
@@ -518,22 +527,46 @@ SQL_SHIPPING_PRIORITY = """
 def q_length_percentiles(spark, sf_dir):
     """Exact rank-selected percentiles of document length per language —
     deterministic (no interpolation): the p-th percentile is the value at
-    1-based rank ceil(p * n) in ascending order, identical in any engine."""
+    1-based rank ceil(p * n) in ascending order, identical in any engine.
+
+    Scale shape: NO per-language sort of the raw rows (that plan caps
+    parallelism at #langs and sorts billions of rows in one task at 100x).
+    Instead: (1) a map-side-combined histogram groupBy(lang, n_chars) —
+    its cardinality is bounded by the value DOMAIN (distinct doc lengths),
+    not the row count; (2) a running-count window over the tiny histogram;
+    (3) the percentile is the smallest value whose cumulative count reaches
+    ceil(p*n).  The doc_id tie-break in the rank definition is value-
+    irrelevant: rank ceil(p*n) under (n_chars, doc_id) ordering lands on
+    the same n_chars as under n_chars-only ordering."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = (
-        docs.select("lang", "n_chars", "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+    hist = (
+        docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt"))
     )
+    # running count per lang over the histogram: the window input is
+    # O(distinct n_chars) rows per lang — constant w.r.t. dataset scale.
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("lang")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("cnt").alias("n_docs"))
     picks = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    targets = totals.select(
+        "lang",
+        "n_docs",
+        *[F.ceil(F.col("n_docs") * frac).alias(f"r_{name}") for name, frac in picks],
+    )
+    joined = cum.join(F.broadcast(targets), "lang")
     aggs = [
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * frac), F.col("n_chars"))
+        F.min(
+            F.when(F.col("cum") >= F.col(f"r_{name}"), F.col("n_chars"))
         ).alias(name)
-        for name, frac in picks
+        for name, _ in picks
     ]
-    return ranked.groupBy("lang").agg(F.max("n").alias("n_docs"), *aggs)
+    return joined.groupBy("lang").agg(F.max("n_docs").alias("n_docs"), *aggs)
 
 
 SQL_LENGTH_PERCENTILES = """
