@@ -140,6 +140,8 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     Output keys: title, description, content, pub_date_raw, author, imageUrl,
     comments, contentImageUrls, spans.
     """
+    if profile in ("dcs", "vne", "ktd", "tct", "vdl", "skc"):
+        return _parse_article_v2(html, profile, base_url)
     # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141);
     # cnd reads h1.postTitle (congnghevadoisong.py:116)
     title_re = {"bdt": _RE_TITLE_ATTR, "cnd": _RE_TITLE_CND}.get(profile, _RE_TITLE)
@@ -362,42 +364,466 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     raise ValueError(f"unknown profile {profile}")
 
 
-def parse_listing(html: str) -> tuple[list[str], bool]:
+# ---------------------------------------------------------------------------
+# Round-4 profiles (dcs, vne, ktd, tct, vdl, skc) — id-selector / header-
+# scoped / attribute-date / block-div site families from the uncovered
+# reference registry (factory.py:36-70)
+# ---------------------------------------------------------------------------
+
+_RE_TITLE_DCS = re.compile(r'<h1 id="contenttitle">(.*?)</h1>')
+_RE_DESC_DCS = re.compile(r'<div id="description">(.*?)</div>')
+_RE_DATE_DCS = re.compile(r'<div id="ngaytao">(.*?)</div>')
+_RE_AUTHOR_DCS = re.compile(r'<b id="tacgia">(.*?)</b>')
+_RE_BODY_DCS = re.compile(r'<div class="noidungtt">(.*?)</div>', re.S)
+# img.imgtelerik only (dangcongsan.py:138-141); the plain-img alternative
+# consumes decoys without capturing
+_RE_WALK_DCS = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<img class="imgtelerik" src="(?P<img>.*?)"/>'
+    r'|<img src="[^"]*"/>',
+    re.S,
+)
+
+_RE_HEADER_VNE = re.compile(r'<header class="detail__header">(.*?)</header>', re.S)
+_RE_TITLE_VNE = re.compile(r'<h1 class="detail__title">(.*?)</h1>')
+_RE_DESC_VNE = re.compile(r'<h2 class="detail__summary">(.*?)</h2>')
+_RE_DATE_VNE = re.compile(r'<div class="detail__meta">(.*?)</div>')
+_RE_AUTHOR_VNE = re.compile(r'<div class="detail__author">(.*?)</div>')
+_RE_BODY_VNE = re.compile(r'<div class="detail__content">(.*?)</div>', re.S)
+# figure-wrapped images only (vneconomy.py:131-135); bare <img> skipped
+_RE_WALK_VNE = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<figure><img src="(?P<img>.*?)"/></figure>'
+    r'|<img src="[^"]*"/>',
+    re.S,
+)
+
+_RE_TITLEPOST_KTD = re.compile(r'<div class="title-post">(.*?)</div>', re.S)
+_RE_TITLE_KTD = re.compile(r'<h1 class="title">(.*?)</h1>')
+_RE_TIME_ATTR_KTD = re.compile(r'<time datetime="(.*?)">')
+_RE_DESC_KTD = re.compile(r'<h2 class="sum-main">(.*?)</h2>')
+_RE_BODY_KTD = re.compile(r'<div class="news-content">(.*?)</div>', re.S)
+_RE_WALK_KTD = re.compile(
+    r'<p(?: class="alignright")?>(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+_RE_AR_STRONG_KTD = re.compile(r'<p class="alignright"><strong>(.*?)</strong></p>')
+_RE_AR_EM_KTD = re.compile(r'<p class="alignright"><em>(.*?)</em></p>')
+_RE_P_STRONG_KTD = re.compile(r"<p><strong>(.*?)</strong></p>")
+
+_RE_TITLE_TCT = re.compile(
+    r'<h1 class="post-title text-left font-playfair">(.*?)</h1>'
+)
+_RE_AUTHOR_TCT = re.compile(
+    r'<div class="meta-info"><span class="source"><strong>(.*?)</strong></span></div>'
+)
+_RE_DESC_TCT = re.compile(r'<div class="sapo title-1 mb-3">(.*?)</div>')
+_RE_DATE_TCT = re.compile(r'<div class="post-meta"><span>(.*?)</span>')
+_RE_BODY_TCT = re.compile(r'<div id="post_content">(.*?)</div>', re.S)
+# p AND h2 both feed content (tapchicongthuong.py:141-143); images only
+# from figure wrappers (:145-150)
+_RE_WALK_TCT = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r"|<h2>(?P<h2>.*?)</h2>"
+    r'|<figure><img src="(?P<img>.*?)"/><figcaption>.*?</figcaption></figure>'
+    r'|<img src="[^"]*"/>',
+    re.S,
+)
+
+_RE_TITLE_VDL = re.compile(r'<h1 class="cms-title article-title">(.*?)</h1>')
+_RE_DESC_VDL = re.compile(r'<div class="summary cms-desc">(.*?)</div>')
+_RE_DATE_VDL = re.compile(r'<div class="meta clearfix"><time>(.*?)</time></div>')
+_RE_AUTHOR_BOX_VDL = re.compile(r'<div class="author">(.*?)</div>', re.S)
+_RE_BODY_VDL = re.compile(
+    r'<div id="abody" class="cms-body clearfix">(.*?)<!--abody-end-->', re.S
+)
+_RE_BLOCK_VDL = re.compile(r"<div>(?P<blk>.*?)</div>", re.S)
+_RE_IMG_PLAIN = re.compile(r'<img src="(.*?)"/>')
+_RE_IMG_TAG = re.compile(r"<img[^>]*/>")
+
+_RE_SECTION_SKC = re.compile(r'<section class="box-author">(.*?)</section>', re.S)
+_RE_H1_SKC = re.compile(r"<h1>(.*?)</h1>")
+_RE_INFO_SKC = re.compile(r'<div class="info-author">(.*?)</div>')
+_RE_LI_SKC = re.compile(r"<li>(.*?)</li>")
+_RE_BODY_SKC = re.compile(
+    r'<div class="detail text-justify">(.*?)<!--detail-end-->', re.S
+)
+_RE_P_SKC = re.compile(r"<p>(?P<para>.*?)</p>|<img src=\"(?P<img>.*?)\"/>", re.S)
+_RE_AUTHOR_SKC = re.compile(r'<div class="author-detail">(.*?)</div>')
+_RE_SKC_PIPE = re.compile(r"^[^|]+\|\s*")  # suckhoecong.py:124
+_RE_TCCT = re.compile(r"^TCCT\s+")  # tapchicongthuong.py:132
+
+_STRIP_TAGS = re.compile(r"<[^>]+>")
+
+
+def _walk2(body: str, walk_re: re.Pattern) -> list[tuple[str, str]]:
+    """In-order (kind, value) walk for the v2 profiles; decoy alternatives
+    match without a capture group and contribute nothing."""
+    out: list[tuple[str, str]] = []
+    for mm in walk_re.finditer(body):
+        g = mm.groupdict()
+        if g.get("para") is not None:
+            out.append(("text", g["para"]))
+        elif g.get("h2") is not None:
+            out.append(("text", g["h2"]))
+        elif g.get("img") is not None:
+            out.append(("image", g["img"]))
+    return out
+
+
+def _rec(title, desc, content, date_raw, author, images, texts) -> dict:
+    return {
+        "title": title,
+        "description": desc,
+        "content": content,
+        "pub_date_raw": date_raw,
+        "author": author,
+        "imageUrl": None,
+        "comments": None,
+        "contentImageUrls": images,
+        "span_texts": texts,
+        "spans": make_spans(texts, images),
+    }
+
+
+def _parse_article_v2(html: str, profile: str, base_url: str) -> dict | None:
+    if profile == "dcs":
+        # id-selector family (dangcongsan.py:113-141): h1#contenttitle via
+        # get_text() — NO strip; div.noidungtt <p> texts stripped+filtered,
+        # joined "\n\n"; img.imgtelerik only; b#tacgia with the
+        # case-insensitive "Theo " prefix strip (:129-135)
+        title = _first(_RE_TITLE_DCS, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_DCS, html)
+        date_raw = _first(_RE_DATE_DCS, html)
+        m = _RE_BODY_DCS.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_DCS) if m else []
+        paras = [v.strip() for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR_DCS, html)
+        if author is not None:
+            author = author.strip()
+            if author.lower().startswith("theo "):
+                author = author[5:]
+        return _rec(title, desc.strip() if desc else None, "\n\n".join(paras),
+                    date_raw.strip() if date_raw else None, author, images, paras)
+
+    if profile == "vne":
+        # header-scoped family (vneconomy.py:117-122): all four meta fields
+        # come from header.detail__header — a decoy title outside the header
+        # must not match; content p stripped+filtered "\n\n" (:127-128);
+        # images from <figure> wrappers only (:131-135)
+        header = _first(_RE_HEADER_VNE, html)
+        if header is None:
+            return None
+        title = _first(_RE_TITLE_VNE, header)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_VNE, header)
+        date_raw = _first(_RE_DATE_VNE, header)
+        author = _first(_RE_AUTHOR_VNE, header)
+        m = _RE_BODY_VNE.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_VNE) if m else []
+        paras = [v.strip() for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n\n".join(paras), date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, paras)
+
+    if profile == "ktd":
+        # attribute-date family (kinhtedouong.py:143-148): publish date is
+        # the <time datetime> ATTRIBUTE inside .title-post; three-tier
+        # author chain p.alignright>strong -> p.alignright>em -> last
+        # p>strong with 2-5 words and != "PV" (:160-175); the author
+        # paragraph REMAINS part of the content
+        tp = _first(_RE_TITLEPOST_KTD, html)
+        if tp is None:
+            return None
+        title = _first(_RE_TITLE_KTD, tp)
+        if title is None:
+            return None
+        date_raw = _first(_RE_TIME_ATTR_KTD, tp)
+        desc = _first(_RE_DESC_KTD, html)
+        m = _RE_BODY_KTD.search(html)
+        body = m.group(1) if m else ""
+        walk = _walk2(body, _RE_WALK_KTD)
+        paras = [_STRIP_TAGS.sub("", v).strip() for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AR_STRONG_KTD, body) or _first(_RE_AR_EM_KTD, body)
+        if not author:
+            for text in reversed(_RE_P_STRONG_KTD.findall(body)):
+                text = text.strip()
+                if 2 <= len(text.split()) <= 5 and text.upper() != "PV":
+                    author = text
+                    break
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n\n".join(paras), date_raw, author.strip() if author else None,
+                    images, paras)
+
+    if profile == "tct":
+        # unfiltered p+h2 family (tapchicongthuong.py:123-153): a MISSING
+        # sapo drops the whole article (re.sub on None raises into the
+        # broad except, :131-132) even when the title parsed; "TCCT "
+        # prefix stripped from the description; content joins p AND h2
+        # texts "\n\n" WITHOUT an empty filter (:141-143)
+        title = _first(_RE_TITLE_TCT, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_TCT, html)
+        if desc is None:
+            return None  # the re.sub(None) crash-drop
+        desc = _RE_TCCT.sub("", desc.strip())
+        author = _first(_RE_AUTHOR_TCT, html)
+        date_raw = _first(_RE_DATE_TCT, html)
+        m = _RE_BODY_TCT.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_TCT) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc, "\n\n".join(texts),
+                    date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "vdl":
+        # block-div family (vietnamdaily.py:123-139): content lives in
+        # DIRECT-CHILD <div> blocks of #abody, text-then-images per block,
+        # joined "\n"; image-only blocks contribute images but no text;
+        # author div.author > span.name else "" (:141-146)
+        title = _first(_RE_TITLE_VDL, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_VDL, html)
+        date_raw = _first(_RE_DATE_VDL, html)
+        m = _RE_BODY_VDL.search(html)
+        texts: list[str] = []
+        images: list[str] = []
+        if m:
+            for bm in _RE_BLOCK_VDL.finditer(m.group(1)):
+                blk = bm.group("blk")
+                text = _RE_IMG_TAG.sub("", blk).strip()
+                if text:
+                    texts.append(text)
+                images.extend(_RE_IMG_PLAIN.findall(blk))
+        author = ""
+        box = _first(_RE_AUTHOR_BOX_VDL, html)
+        if box is not None:
+            name = _first(_RE_NAME_SPAN, box)
+            if name:
+                author = name.strip()
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw.strip() if date_raw else None,
+                    author, images, texts)
+
+    if profile == "skc":
+        # pipe-description family (suckhoecong.py:118-138): title is the
+        # box-author section's h1; the description rides in div.info-author
+        # as "source | desc <date-tail>" — split on the literal ' 03/' then
+        # strip the '... | ' prefix (:123-124); date = first <li> of the
+        # section's <ul>; content p joined "\n\n" WITHOUT empty filter;
+        # author div.author-detail inside the detail div, else None
+        sec = _first(_RE_SECTION_SKC, html)
+        if sec is None:
+            return None
+        title = _first(_RE_H1_SKC, sec)
+        if title is None:
+            return None
+        info = _first(_RE_INFO_SKC, sec)
+        desc = None
+        if info is not None:
+            cleaned = info.split(" 03/")[0].strip()
+            desc = _RE_SKC_PIPE.sub("", cleaned)
+        date_raw = _first(_RE_LI_SKC, sec)
+        m = _RE_BODY_SKC.search(html)
+        body = m.group(1) if m else ""
+        texts = [mm.group("para").strip()
+                 for mm in _RE_P_SKC.finditer(body) if mm.group("para") is not None]
+        images = [mm.group("img")
+                  for mm in _RE_P_SKC.finditer(body) if mm.group("img") is not None]
+        author = _first(_RE_AUTHOR_SKC, body)
+        return _rec(title.strip(), desc, "\n\n".join(texts),
+                    date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
+    raise ValueError(f"unknown v2 profile {profile}")
+
+
+# --- listing families (F4) -------------------------------------------------
+
+_RE_KHUVUC = re.compile(r'<div id="KhuVuc_3">(.*?)</div>', re.S)
+_RE_A_HREF = re.compile(r'<a href="(.*?)">')
+_RE_VNE_CONTAINER = re.compile(
+    r'<div class="col-12 col-lg-9 column-border">(.*?)</div><!--col-end-->', re.S
+)
+_RE_ARTICLE_SPAN = re.compile(r"<article>(.*?)</article>", re.S)
+_RE_ITEM_POST = re.compile(r'<div class="item-post">(.*?)</div>', re.S)
+_RE_TCT_CONTAINERS = re.compile(
+    r'<div class="(?:widget-layout-1 pt-4 mb-4|list-view)">(.*?)</div>', re.S
+)
+_RE_ZONE_STORY = re.compile(
+    r'<ul class="zone category-listing-story">(.*?)</ul>', re.S
+)
+_RE_STORY_SPAN = re.compile(r'<article class="story">(.*?)</article>', re.S)
+_RE_LINK_TITLE = re.compile(r'<a class="link-title" href="(.*?)">')
+
+
+def _fam_h3_title_news(html: str) -> list[str]:
+    # h3.title-news anchors (vnexpress.py:258-261 shape)
+    return _RE_ANCHOR.findall(html)
+
+
+def _fam_article_walk(html: str) -> list[str]:
+    # article > h3|h2 > a, headingless articles skipped (vtcnews.py:231-243)
+    return _RE_ARTICLE_WALK.findall(html)
+
+
+def _fam_multi_class(html: str) -> list[str]:
+    # three interchangeable title classes (vietnamnet.py:227-231)
+    return _RE_MULTI_CLASS.findall(html)
+
+
+def _fam_newstitle_div(html: str) -> list[str]:
+    # div.newsTitle anchors under the category container
+    # (congnghevadoisong.py:193-201)
+    return _RE_NEWSTITLE_DIV.findall(html)
+
+
+def _fam_relative_only(html: str) -> list[str]:
+    # h2.title anchors keeping ONLY '/'-prefixed hrefs (kienthuc.py:244-253);
+    # absolutization happens downstream (F5)
+    if '<section class="cat-listnews' not in html:
+        return []
+    return [u for u in _RE_H2_TITLE.findall(html) if u.startswith("/")]
+
+
+def _fam_http_filter(html: str) -> list[str]:
+    # article a[href] under the category list, http(s) only, first-occurrence
+    # dedup (quandoinhandan.py:198-202 — list(set()) order is run-dependent;
+    # keep-first document order is the pinned spec)
+    if '<div class="list-news-category">' not in html:
+        return []
+    seen: set[str] = set()
+    links: list[str] = []
+    for u in _RE_PLAIN_ARTICLE_A.findall(html):
+        if u.startswith("http") and u not in seen:
+            seen.add(u)
+            links.append(u)
+    return links
+
+
+def _fam_khuvuc_anchors(html: str) -> list[str]:
+    # div#KhuVuc_3, ALL a[href] — no heading filter; the site prepends its
+    # base unconditionally, so hrefs are relative (dangcongsan.py:199-209)
+    m = _RE_KHUVUC.search(html)
+    return _RE_A_HREF.findall(m.group(1)) if m else []
+
+
+def _fam_article_first_a(html: str) -> list[str]:
+    # container div, FIRST a[href] of each <article>; anchorless articles
+    # skipped; href kept absolute or absolutized downstream
+    # (vneconomy.py:193-209)
+    m = _RE_VNE_CONTAINER.search(html)
+    if not m:
+        return []
+    links = []
+    for am in _RE_ARTICLE_SPAN.finditer(m.group(1)):
+        a = _RE_A_HREF.search(am.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_item_post(html: str) -> list[str]:
+    # .item-post a[href] — every anchor of every item-post
+    # (kinhtedouong.py:231-240)
+    links = []
+    for im in _RE_ITEM_POST.finditer(html):
+        links.extend(_RE_A_HREF.findall(im.group(1)))
+    return links
+
+
+def _fam_two_container(html: str) -> list[str]:
+    # both container classes, '/'-prefixed hrefs only, ORDERED first-
+    # occurrence dedup — the reference's list(dict.fromkeys())
+    # (tapchicongthuong.py:210-225)
+    seen: set[str] = set()
+    links: list[str] = []
+    for cm in _RE_TCT_CONTAINERS.finditer(html):
+        for u in _RE_A_HREF.findall(cm.group(1)):
+            if u.startswith("/") and u not in seen:
+                seen.add(u)
+                links.append(u)
+    return links
+
+
+def _fam_zone_story(html: str) -> list[str]:
+    # ul.zone.category-listing-story > article.story > first a[href];
+    # base prepended unconditionally, so hrefs are relative
+    # (vietnamdaily.py:204-219)
+    m = _RE_ZONE_STORY.search(html)
+    if not m:
+        return []
+    links = []
+    for am in _RE_STORY_SPAN.finditer(m.group(1)):
+        a = _RE_A_HREF.search(am.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_link_title(html: str) -> list[str]:
+    # div.list-new-cate, a.link-title hrefs returned AS-IS
+    # (suckhoecong.py:196-207)
+    if '<div class="list-new-cate">' not in html:
+        return []
+    return _RE_LINK_TITLE.findall(html)
+
+
+LISTING_PARSERS = {
+    "h3-title-news": _fam_h3_title_news,
+    "article-walk": _fam_article_walk,
+    "multi-class": _fam_multi_class,
+    "newstitle-div": _fam_newstitle_div,
+    "relative-only": _fam_relative_only,
+    "http-filter": _fam_http_filter,
+    "khuvuc-anchors": _fam_khuvuc_anchors,
+    "article-first-a": _fam_article_first_a,
+    "item-post": _fam_item_post,
+    "two-container": _fam_two_container,
+    "zone-story": _fam_zone_story,
+    "link-title": _fam_link_title,
+}
+
+# sniff order for family=None callers: container-gated families first (their
+# gates are unambiguous), anchor-shape families after
+_SNIFF_ORDER = (
+    "khuvuc-anchors", "article-first-a", "item-post", "two-container",
+    "zone-story", "link-title", "h3-title-news", "article-walk",
+    "multi-class", "newstitle-div", "relative-only", "http-filter",
+)
+
+
+def parse_listing(html: str, family: str | None = None) -> tuple[list[str], bool]:
     """Listing page -> (hrefs in document order, is_terminal).
 
-    Families are structurally disjoint, so one parser serves all hosts
-    (hostsim.LISTING_FAMILY):
-
-    - h3.title-news anchors (vnexpress shape);
-    - article > h3|h2 > a walk — headingless articles skipped
-      (vtcnews.py:231-243);
-    - multi-class titles (vietnamnet.py:227-231);
-    - div.newsTitle anchors under the category container
-      (congnghevadoisong.py:193-201);
-    - h2.title anchors keeping ONLY relative ('/'-prefixed) hrefs — the
-      site prepends its base; absolute outbound links are dropped
-      (kienthuc.py:244-253; absolutization happens downstream, F5);
-    - plain article > a[href] with the http(s) filter + first-occurrence
-      dedup (quandoinhandan.py:198-202 — the reference's list(set()) order
-      is run-dependent; keep-first document order is the pinned spec).
+    When ``family`` is given (from the host dimension's LISTING_FAMILY) the
+    matching parser runs scoped to its own container — a page mixing markup
+    from two families parses per the HOST profile, not per whichever regex
+    fires first.  ``family=None`` falls back to structural sniffing in
+    ``_SNIFF_ORDER`` (families are structurally disjoint by construction).
 
     is_terminal mirrors the selenium one-shot 'returned a set' stop signal
     (base_crawler.py:129-131).
     """
-    links = _RE_ANCHOR.findall(html)
-    if not links:
-        links = _RE_ARTICLE_WALK.findall(html)
-    if not links:
-        links = _RE_MULTI_CLASS.findall(html)
-    if not links:
-        links = _RE_NEWSTITLE_DIV.findall(html)
-    if not links and '<section class="cat-listnews' in html:
-        links = [u for u in _RE_H2_TITLE.findall(html) if u.startswith("/")]
-    if not links and '<div class="list-news-category">' in html:
-        seen: set[str] = set()
+    if family is not None:
+        links = LISTING_PARSERS[family](html)
+    else:
         links = []
-        for u in _RE_PLAIN_ARTICLE_A.findall(html):
-            if u.startswith("http") and u not in seen:
-                seen.add(u)
-                links.append(u)
+        for fam in _SNIFF_ORDER:
+            links = LISTING_PARSERS[fam](html)
+            if links:
+                break
     return links, "<!--one-shot-->" in html

@@ -14,24 +14,43 @@ call.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_live: dict[str, list[DataFrame]] = {}
+# slots are keyed by (session, tag) so two SparkSessions sharing the module
+# never release each other's generations, and guarded by a lock for
+# concurrent jobs (ADVICE r03).  Contract unchanged within one session:
+# an operator's result must be actioned before the SAME operator is invoked
+# again on that session, else the earlier lazy result loses its cache.
+_live: dict[tuple[int, str], list[DataFrame]] = {}
+_lock = threading.Lock()
+
+
+def _key(tag: str, df: DataFrame) -> tuple[int, str]:
+    return (id(df.sparkSession), tag)
 
 
 def claim(tag: str, *dfs: DataFrame) -> tuple[DataFrame, ...]:
-    """Persist ``dfs`` under ``tag``, releasing the tag's previous generation."""
-    for old in _live.pop(tag, []):
+    """Persist ``dfs`` under ``tag``, releasing the tag's previous generation
+    for the same SparkSession."""
+    with _lock:
+        old_gen = _live.pop(_key(tag, dfs[0]), [])
+        _live[_key(tag, dfs[0])] = [df.persist() for df in dfs]
+    for old in old_gen:
         try:
             old.unpersist()
         except Exception:
             pass  # session of the old generation may already be gone
-    _live[tag] = [df.persist() for df in dfs]
     return dfs if len(dfs) > 1 else dfs[0]
 
 
-def release(tag: str) -> None:
-    for old in _live.pop(tag, []):
+def release(tag: str, session_id: int | None = None) -> None:
+    """Release ``tag``'s slots — all sessions' when ``session_id`` is None."""
+    with _lock:
+        keys = [k for k in _live if k[1] == tag and session_id in (None, k[0])]
+        gens = [df for k in keys for df in _live.pop(k)]
+    for old in gens:
         try:
             old.unpersist()
         except Exception:
@@ -39,5 +58,11 @@ def release(tag: str) -> None:
 
 
 def release_all() -> None:
-    for tag in list(_live):
-        release(tag)
+    with _lock:
+        gens = [df for v in _live.values() for df in v]
+        _live.clear()
+    for old in gens:
+        try:
+            old.unpersist()
+        except Exception:
+            pass

@@ -47,7 +47,12 @@ def fetch_parse_listings(cfg: hs.WebConfig, listings: DataFrame) -> DataFrame:
     """listing frontier rows -> (out_links in document order, is_terminal).
 
     Input columns: host, type_id, page_no (+ anything; only these are read).
+
+    The listing family is dispatched per HOST profile (hostsim.LISTING_FAMILY)
+    rather than content-sniffed, so a page mixing two families' markup parses
+    per its host's registered selector set.
     """
+    family_by_host = {s.host: hs.LISTING_FAMILY[s.profile] for s in cfg.hosts}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -55,7 +60,7 @@ def fetch_parse_listings(cfg: hs.WebConfig, listings: DataFrame) -> DataFrame:
             for host, t, p in zip(pdf["host"], pdf["type_id"], pdf["page_no"]):
                 try:
                     html = hs.fetch(cfg, hs.listing_url(cfg, host, int(t), int(p)))
-                    links, is_term = parse_listing(html)
+                    links, is_term = parse_listing(html, family_by_host.get(host))
                     out_links.append(links)
                     terminal.append(is_term)
                     errors.append(False)

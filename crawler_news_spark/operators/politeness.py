@@ -98,9 +98,15 @@ def schedule_wave(
         .agg(F.sum("n").alias("n_sched"))
     )
 
-    # per-host clock0 for this wave (hosts never scheduled before start at 0)
+    # per-host clock0 for this wave (hosts never scheduled before start at 0).
+    # LEFT join the delay dim: a frontier host missing from the robots/delay
+    # table gets the reference's default 1 s delay (base_crawler.py:61)
+    # instead of silently vanishing from the schedule while still being
+    # counted in totals (ADVICE r03).
     host_n = counts_df.groupBy("host").agg(F.sum("n").alias("_n"))
-    wave_hosts = host_n.join(delay_dim, "host")
+    wave_hosts = host_n.join(delay_dim, "host", "left").withColumn(
+        "crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0))
+    )
     if clock_df is not None:
         wave_hosts = wave_hosts.join(clock_df, "host", "left").withColumn(
             "clock0", F.coalesce(F.col("clock"), F.lit(0.0))
@@ -144,12 +150,15 @@ def robots_filter_dim(df: DataFrame, dim: DataFrame | None) -> DataFrame:
     rlike per row.  (An earlier per-host predicate chain built an O(#hosts)
     expression tree: fine at 7 hosts, quadratic analysis blowup at web-scale
     host counts.)  Hosts without rules pass via the null regex branch; the
-    left join keeps them.
+    left join keeps them.  No broadcast hint: AQE broadcasts the dim while
+    it is small; at 10^8 hosts a host-indexed dim no longer fits an executor
+    and the correct plan is a shuffle join — same treatment as delay_dim in
+    schedule_wave (ADVICE r03).
     """
     if dim is None:
         return df
     return (
-        df.join(F.broadcast(dim), "host", "left")
+        df.join(dim, "host", "left")
         .filter(
             F.col("disallow_rx").isNull()
             | ~F.expr("rlike(canonical_url, disallow_rx)")

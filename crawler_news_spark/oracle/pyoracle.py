@@ -110,7 +110,7 @@ def crawl_oracle(cfg: hs.WebConfig, batch_pages: int = 4,
             spec = cfg.spec(host)
             html = hs.fetch(cfg, hs.listing_url(cfg, host, t, p))
             lin(host)["n_fetched"] += 1
-            links, is_terminal = parse_listing(html)
+            links, is_terminal = parse_listing(html, hs.LISTING_FAMILY[spec.profile])
             lin(host)["n_links"] += len(links)
             key = (host, t)
             max_page[key] = max(max_page.get(key, 0), p)

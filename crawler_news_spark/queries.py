@@ -794,14 +794,25 @@ def q_decontaminate(spark, sf_dir):
     sharing word-5-grams with an eval set (here: doc_id < 10).  The eval-set
     gram table broadcasts; the corpus side streams through one hash join —
     the 100 TB shape (the benchmark is always tiny relative to the corpus).
+
+    Scale hardening: the join key is ``xxhash64(gram)`` (8 bytes) rather
+    than the raw ~30-byte gram string — the broadcast hash table keys and
+    probe comparisons are fixed-width longs — with an exact-string verify
+    filter after the hash match, so hash collisions cannot create pairs and
+    the result is identical to the string join.
     """
     docs = load(spark, sf_dir, "documents")
-    bench = _word_ngrams(docs.filter(F.col("doc_id") < 10), 5).withColumnRenamed(
-        "doc_id", "bench_id"
+    bench = (
+        _word_ngrams(docs.filter(F.col("doc_id") < 10), 5)
+        .withColumnRenamed("doc_id", "bench_id")
+        .select("bench_id", F.xxhash64("g").alias("gh"), F.col("g").alias("g_b"))
     )
-    corpus = _word_ngrams(docs.filter(F.col("doc_id") >= 10), 5)
+    corpus = _word_ngrams(docs.filter(F.col("doc_id") >= 10), 5).withColumn(
+        "gh", F.xxhash64("g")
+    )
     return (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(F.broadcast(bench), "gh")
+        .filter(F.col("g") == F.col("g_b"))  # collision guard: exact verify
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
     )
@@ -813,10 +824,12 @@ def q_top_keywords(spark, sf_dir):
     Integer-only scoring (tf desc, word asc tie-break) — no float idf, so
     the oracle is exact.  Shape: one explode + two hash aggregates + one
     join on word; the df dim is vocab-sized and AQE-broadcast when small.
+    The df cap (25% of the corpus size) is derived INSIDE the plan — a
+    1-row count aggregate broadcast-joined into the dfreq filter — so no
+    separate ``docs.count()`` driver action scans the table twice.
     """
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    max_df = max(1, n_docs // 4)
+    n = docs.agg(F.count("*").alias("_n"))
     words = docs.select(
         "doc_id",
         F.explode(
@@ -825,7 +838,12 @@ def q_top_keywords(spark, sf_dir):
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("_df"))
-    kept = tf.join(dfreq.filter(F.col("_df") <= max_df).select("w"), "w")
+    kept_words = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(F.col("_df") <= F.greatest(F.lit(1), F.expr("_n div 4")))
+        .select("w")
+    )
+    kept = tf.join(kept_words, "w")
     rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("w"))
     return (
         kept.withColumn("rank", F.row_number().over(rk))

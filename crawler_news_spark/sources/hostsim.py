@@ -42,23 +42,35 @@ def stable_hash(s: str, seed: int = 0) -> int:
 # Web configuration
 # ---------------------------------------------------------------------------
 
-PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt", "cnd")
+PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt", "cnd",
+            "dcs", "vne", "ktd", "tct", "vdl", "skc")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
     "dtr": "trang-htm",  # https://{h}/{slug}/trang-{n}.htm   dantri.py:303
     "btt": "brsr-offset",  # https://{h}/{slug}?BRSR={20(n-1)} congthuong.py:198
     "vnn": "page0",  # https://{h}/{slug}-page{n-1}           vietnamnet.py:220
-    "qdn": "aspx-page",  # https://{h}/{slug}.aspx?Page={n}   dangcongsan.py:188
+    "qdn": "p-slash",  # https://{h}/{slug}/p/{n}             quandoinhandan.py:186
     "btu": "loadmore",  # https://{h}/{slug}/trang-{n}/loadmore  baothanhtra.py:210
     "thp": "cond-first",  # p1: /{slug}/, else /{slug}/p{n}   taichinhdoanhnghiep.py:182-184
     "bdt": "trang-htm",  # baodantoc paginates like the dantri family
     "cnd": "slug-p",  # https://{h}/{slug}/p{n}               congnghevadoisong.py:179
+    "dcs": "aspx-page",  # https://{h}/.../{slug}.aspx?Page={n}  dangcongsan.py:188
+    "vne": "htm-trang",  # https://{h}/{slug}.htm?trang={n}   vneconomy.py:180
+    "ktd": "slash-qtrang",  # https://{h}/{slug}/?trang={n}   kinhtedouong.py:222
+    "tct": "hashtag-page",  # https://{h}/hashtag/{slug}/page-{n}  tapchicongthuong.py:199
+    "vdl": "qpage",  # https://{h}/{slug}/?page={n}           vietnamdaily.py:191
+    "skc": "slug-p",  # https://{h}/{slug}/p{n}               suckhoecong.py:185
 }
 
 CONTENT_JOIN = {  # §2.3 P3
     "vnx": ",", "dtr": "\n", "btt": " ", "vnn": ",", "qdn": "\n",
     "btu": "\n", "thp": "\n", "bdt": "\n", "cnd": "\n",
+    # "\n\n" joiners: dangcongsan.py:125, vneconomy.py:128,
+    # kinhtedouong.py:152, tapchicongthuong.py:143, suckhoecong.py:131;
+    # vietnamdaily joins blocks with a single "\n" (vietnamdaily.py:139)
+    "dcs": "\n\n", "vne": "\n\n", "ktd": "\n\n", "tct": "\n\n",
+    "vdl": "\n", "skc": "\n\n",
 }
 
 # Listing-extraction families (F4) — the reference exhibits ~30 per-site
@@ -76,6 +88,19 @@ CONTENT_JOIN = {  # §2.3 P3
 # - relative-only:  section.cat-listnews container, h2.title > a, keeping
 #                   ONLY hrefs starting with '/' (absolute decoys dropped;
 #                   the site prepends its base) (kienthuc.py:244-253)
+#   round-4 families:
+# - khuvuc-anchors:  div#KhuVuc_3, ALL a[href], base prepended
+#                    unconditionally -> relative hrefs (dangcongsan.py:199-209)
+# - article-first-a: container div, first a[href] per <article>, conditional
+#                    absolutize (vneconomy.py:193-209)
+# - item-post:       .item-post a[href], '/'-prefixed absolutized
+#                    (kinhtedouong.py:231-240)
+# - two-container:   two container classes, '/'-prefixed only, ORDERED
+#                    first-occurrence dedup (tapchicongthuong.py:210-225)
+# - zone-story:      ul.zone > article.story > first a, base prepended
+#                    unconditionally -> relative hrefs (vietnamdaily.py:204-219)
+# - link-title:      div.list-new-cate a.link-title, hrefs as-is
+#                    (suckhoecong.py:196-207)
 LISTING_FAMILY = {
     "vnx": "h3-title-news", "dtr": "h3-title-news", "btt": "h3-title-news",
     "bdt": "relative-only",
@@ -83,6 +108,12 @@ LISTING_FAMILY = {
     "qdn": "http-filter",
     "vnn": "multi-class",
     "cnd": "newstitle-div",
+    "dcs": "khuvuc-anchors",
+    "vne": "article-first-a",
+    "ktd": "item-post",
+    "tct": "two-container",
+    "vdl": "zone-story",
+    "skc": "link-title",
 }
 
 _VNN_TITLE_CLASSES = ("horizontalPost__main-title", "vnn-title", "title-bold")
@@ -137,9 +168,15 @@ class WebConfig:
     null_title_mod: int = 17  # 1/17 articles have no title -> dropped
     dup_prev_page_mod: int = 3  # hosts h%3==0 repeat one link from prior page
     cross_type_dup_mod: int = 7  # 1/7 links point into type 0 (cross-type dup)
-    # emit relative hrefs (vnn absolutizes downstream; bdt's relative-only
-    # listing family REQUIRES them — absolute hrefs are dropped by design)
-    relative_link_profiles: tuple[str, ...] = ("vnn", "bdt")
+    # emit relative hrefs (vnn absolutizes downstream; bdt/tct relative-only
+    # families DROP absolute hrefs; dcs/vdl prepend base unconditionally so
+    # absolute hrefs would double the scheme — all four REQUIRE relative)
+    relative_link_profiles: tuple[str, ...] = ("vnn", "bdt", "dcs", "tct", "vdl")
+    # emit a per-link hash-gated mix of relative and absolute hrefs — these
+    # families carry conditional absolutization (href if startswith http
+    # else base+href: vneconomy.py:208, kinhtedouong.py:236-238), so both
+    # forms must flow through the downstream F5 absolutizer
+    mixed_link_profiles: tuple[str, ...] = ("vne", "ktd")
     # page_weight scales article length + HTML boilerplate toward realistic
     # news-page sizes (real articles are 100-400 KB with nav/script cruft;
     # weight=1 keeps unit tests fast, bench uses heavier pages so the
@@ -188,6 +225,19 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
         HostSpec("bdt1.example.vn", "bdt", n_types=s(2), links_per_page=4,
                  max_depth=s(2), crawl_delay_s=1.0),
         HostSpec("cnd1.example.vn", "cnd", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("dcs1.example.vn", "dcs", n_types=s(3), links_per_page=5,
+                 max_depth=s(3), crawl_delay_s=1.0,
+                 robots_disallow=("/noidung/admin",)),
+        HostSpec("vne1.example.vn", "vne", n_types=s(3), links_per_page=5,
+                 max_depth=s(3), crawl_delay_s=1.0),
+        HostSpec("ktd1.example.vn", "ktd", n_types=s(2), links_per_page=4,
+                 max_depth=s(3), crawl_delay_s=0.5),
+        HostSpec("tct1.example.vn", "tct", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), page_cap=3, crawl_delay_s=1.0),
+        HostSpec("vdl1.example.vn", "vdl", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.5),
+        HostSpec("skc1.example.vn", "skc", n_types=s(2), links_per_page=4,
                  max_depth=s(2), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
@@ -260,6 +310,16 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         return f"https://{host}/{slug}/p{page}"
     if kind == "slug-p":
         return f"https://{host}/{slug}/p{page}"
+    if kind == "p-slash":
+        return f"https://{host}/{slug}/p/{page}"
+    if kind == "htm-trang":
+        return f"https://{host}/{slug}.htm?trang={page}"
+    if kind == "slash-qtrang":
+        return f"https://{host}/{slug}/?trang={page}"
+    if kind == "hashtag-page":
+        return f"https://{host}/hashtag/{slug}/page-{page}"
+    if kind == "qpage":
+        return f"https://{host}/{slug}/?page={page}"
     raise ValueError(kind)
 
 
@@ -295,19 +355,23 @@ def listing_links(cfg: WebConfig, host: str, type_id: int, page: int) -> list[st
     if not spec.one_shot and page > depth:
         return []
     relative = spec.profile in cfg.relative_link_profiles
+    mixed = spec.profile in getattr(cfg, "mixed_link_profiles", ())
     L = spec.links_per_page
     links: list[str] = []
     for k in range(L):
         idx = (page - 1) * L + k
         h = stable_hash(f"link|{host}|{type_id}|{page}|{k}", cfg.seed)
+        rel = (h % 2 == 0) if mixed else relative
         if type_id != 0 and h % cfg.cross_type_dup_mod == 0:
             # cross-type duplicate: points into type 0's article space
-            links.append(article_url(cfg, host, 0, h % (L * 2), relative))
+            links.append(article_url(cfg, host, 0, h % (L * 2), rel))
         else:
-            links.append(article_url(cfg, host, type_id, idx, relative))
-    if page > 1 and stable_hash(f"dup|{host}|{type_id}|{page}", cfg.seed) % cfg.dup_prev_page_mod == 0:
+            links.append(article_url(cfg, host, type_id, idx, rel))
+    h_dup = stable_hash(f"dup|{host}|{type_id}|{page}", cfg.seed)
+    if page > 1 and h_dup % cfg.dup_prev_page_mod == 0:
         # repeat one link from the previous page (within-type dup)
-        links.append(article_url(cfg, host, type_id, (page - 2) * L, relative))
+        rel = (h_dup % 2 == 0) if mixed else relative
+        links.append(article_url(cfg, host, type_id, (page - 2) * L, rel))
     return links
 
 
@@ -388,6 +452,65 @@ def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> s
             '<h2 class="title"><a href="https://ads.example.com/sponsor">qc</a></h2>'
         )
         body = f'<section class="cat-listnews hzol-clear">{"".join(items)}</section>'
+    elif fam == "khuvuc-anchors":
+        # dangcongsan.py:199-209: div#KhuVuc_3, ALL anchors inside count —
+        # no heading filter; anchors OUTSIDE the container must be ignored
+        items = "".join(f'<a href="{u}">bài {i}</a>' for i, u in enumerate(links))
+        body = (
+            f'<div id="KhuVuc_3">{items}</div>'
+            '<a href="/sitemap">sơ đồ trang</a>'
+        )
+    elif fam == "article-first-a":
+        # vneconomy.py:193-209: container div, FIRST a per article; second
+        # anchors and anchorless ad articles contribute nothing
+        items = []
+        for i, u in enumerate(links):
+            extra = '<a href="#comments">bình luận</a>' if i % 2 == 0 else ""
+            items.append(f'<article><a href="{u}">bài {i}</a>{extra}</article>')
+        items.insert(0, "<article><span>quảng cáo</span></article>")
+        body = (
+            f'<div class="col-12 col-lg-9 column-border">{"".join(items)}'
+            "</div><!--col-end-->"
+        )
+    elif fam == "item-post":
+        # kinhtedouong.py:231-240: .item-post a[href]; anchors outside
+        # item-posts are ignored
+        items = "".join(
+            f'<div class="item-post"><a href="{u}">bài {i}</a></div>'
+            for i, u in enumerate(links)
+        )
+        body = f'{items}<a href="/lien-he">liên hệ</a>'
+    elif fam == "two-container":
+        # tapchicongthuong.py:210-225: two container classes; '/'-prefixed
+        # hrefs only; cross-container duplicates removed keep-first; the
+        # absolute decoy is dropped
+        half = (len(links) + 1) // 2
+        first = "".join(f'<a href="{u}">bài {i}</a>' for i, u in enumerate(links[:half]))
+        # duplicate one link from container 1 into container 2 to exercise
+        # the ordered dedup
+        second_links = list(links[half:]) + [links[0]]
+        second = "".join(f'<a href="{u}">bài {i}</a>' for i, u in enumerate(second_links))
+        second += '<a href="https://ads.example.com/sponsor">qc</a>'
+        body = (
+            f'<div class="widget-layout-1 pt-4 mb-4">{first}</div>'
+            f'<div class="list-view">{second}</div>'
+        )
+    elif fam == "zone-story":
+        # vietnamdaily.py:204-219: ul.zone, article.story, first a each;
+        # non-story articles skipped
+        items = ["<li><article><a href=\"/khuyen-mai\">qc</a></article></li>"]
+        items += [
+            f'<li><article class="story"><a href="{u}">bài {i}</a></article></li>'
+            for i, u in enumerate(links)
+        ]
+        body = f'<ul class="zone category-listing-story">{"".join(items)}</ul>'
+    elif fam == "link-title":
+        # suckhoecong.py:196-207: div.list-new-cate, a.link-title only —
+        # the class-less anchor is skipped
+        items = "".join(
+            f'<a class="link-title" href="{u}">bài {i}</a>' for i, u in enumerate(links)
+        )
+        body = f'<div class="list-new-cate">{items}<a href="/rss">RSS</a></div>'
     else:
         raise ValueError(fam)
     marker = "<!--one-shot-->" if spec.one_shot else ""
@@ -477,6 +600,8 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     spec = cfg.spec(host)
     f = article_fields(cfg, host, url)
     p = spec.profile
+    if p in ("dcs", "vne", "ktd", "tct", "vdl", "skc"):
+        return _render_article_v2(cfg, host, url, f, spec)
     parts = ["<html><head>"]
     parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
     parts.append("</head><body>")
@@ -601,6 +726,196 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     return "".join(parts)
 
 
+def _render_article_v2(cfg: WebConfig, host: str, url: str, f: dict,
+                       spec: HostSpec) -> str:
+    """Article markup for the round-4 profiles (dcs/vne/ktd/tct/vdl/skc).
+
+    Each branch serializes the same ground-truth fields in its reference
+    site's selector idiom, with decoy elements the parser must skip — the
+    markup is the *test vector* for the profile's structural quirks.
+    """
+    p = spec.profile
+    cu = f["canonical_url"]
+    h = stable_hash(f"v2|{cu}", cfg.seed)
+    parts = ["<html><head>"]
+    parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
+    parts.append("</head><body>")
+    for b in range(cfg.page_weight - 1):
+        filler = _sentence(cfg, f"boiler|{url}|{b}", 20)
+        parts.append(
+            f'<div class="nav-item"><span>{filler}</span><a href="#m{b}">menu</a></div>'
+        )
+    img_by_pos: dict[int, list[str]] = {}
+    for pos, src in f["images"]:
+        img_by_pos.setdefault(pos, []).append(src)
+    paras = f["paragraphs"]
+
+    if p == "dcs":
+        # id-selector markup (dangcongsan.py:113-141)
+        if f["title"] is not None:
+            # get_text() without strip is the reference behavior — a
+            # hash-gated trailing space pins the no-strip semantics
+            t = f["title"] + (" " if h % 4 == 0 else "")
+            parts.append(f'<h1 id="contenttitle">{t}</h1>')
+        parts.append(f'<div id="description">{f["description"]}</div>')
+        parts.append(f'<div id="ngaytao">{f["date_raw"]}</div>')
+        parts.append('<div class="noidungtt">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 3 == 0:
+                parts.append("<p> </p>")  # blank para -> filtered by strip
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img class="imgtelerik" src="{src}"/>')
+        if h % 2 == 1:
+            # non-imgtelerik decoy the img.imgtelerik selector must skip
+            parts.append(f'<img src="https://img.{host}/banner-decoy.jpg"/>')
+        parts.append("</div>")
+        theo = "Theo " if h % 2 == 0 else ""
+        parts.append(f'<b id="tacgia">{theo}{f["author"]}</b>')
+
+    elif p == "vne":
+        # header-scoped markup (vneconomy.py:117-135)
+        parts.append('<header class="detail__header">')
+        parts.append(f'<div class="detail__meta">{f["date_raw"]}</div>')
+        if f["title"] is not None:
+            parts.append(f'<h1 class="detail__title">{f["title"]}</h1>')
+        parts.append(f'<h2 class="detail__summary">{f["description"]}</h2>')
+        parts.append(f'<div class="detail__author">{f["author"]}</div>')
+        parts.append("</header>")
+        # scoping decoy: a detail__title OUTSIDE the header (related-news box)
+        parts.append('<h1 class="detail__title">Tin liên quan nổi bật</h1>')
+        parts.append('<div class="detail__content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<figure><img src="{src}"/></figure>')
+            if i == 1 and h % 3 == 0:
+                # bare img (tracking pixel) — figure-only selector skips it
+                parts.append(f'<img src="https://img.{host}/pixel.gif"/>')
+        parts.append("</div>")
+
+    elif p == "ktd":
+        # attribute-date + 3-tier author markup (kinhtedouong.py:139-175)
+        parts.append('<div class="title-post">')
+        if f["title"] is not None:
+            parts.append(f'<h1 class="title">{f["title"]}</h1>')
+        parts.append(f'<time datetime="{f["date_raw"]}">1 giờ trước</time>')
+        parts.append("</div>")
+        parts.append(f'<h2 class="sum-main">{f["description"]}</h2>')
+        parts.append('<div class="news-content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        tier = h % 3
+        if tier == 0:
+            parts.append(f'<p class="alignright"><strong>{f["author"]}</strong></p>')
+        elif tier == 1:
+            parts.append(f'<p class="alignright"><em>{f["author"]}</em></p>')
+        else:
+            # tier-3: last valid p>strong wins; the PV and too-long decoys
+            # AFTER it must be rejected by the word-count/PV filters
+            parts.append(f"<p><strong>{f['author']}</strong></p>")
+            parts.append("<p><strong>PV</strong></p>")
+            parts.append(
+                "<p><strong>GIÁ VÀNG TRONG NƯỚC HÔM NAY TĂNG MẠNH</strong></p>"
+            )
+        parts.append("</div>")
+
+    elif p == "tct":
+        # unfiltered p+h2 markup (tapchicongthuong.py:123-153)
+        if f["title"] is not None:
+            parts.append(
+                f'<h1 class="post-title text-left font-playfair">{f["title"]}</h1>'
+            )
+        parts.append(
+            f'<div class="meta-info"><span class="source"><strong>'
+            f'{f["author"]}</strong></span></div>'
+        )
+        if stable_hash(f"sapo|{cu}", cfg.seed) % 13 != 0:
+            tcct = "TCCT " if h % 2 == 0 else ""
+            parts.append(f'<div class="sapo title-1 mb-3">{tcct}{f["description"]}</div>')
+        # else: sapo missing -> the re.sub(None) crash-drop (tct parser)
+        parts.append(
+            f'<div class="post-meta"><span>{f["date_raw"]}</span>'
+            "<span>Tạp chí Công Thương</span></div>"
+        )
+        parts.append('<div id="post_content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if (h >> (i % 16)) % 4 == 0:
+                sub = _sentence(cfg, f"h2|{cu}|{i}", 4)
+                parts.append(f"<h2>{sub}</h2>")  # subhead JOINS the content
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(
+                    f'<figure><img src="{src}"/>'
+                    "<figcaption>Ảnh minh họa</figcaption></figure>"
+                )
+        if h % 2 == 1:
+            parts.append(f'<img src="https://img.{host}/logo-decoy.png"/>')
+        parts.append("</div>")
+
+    elif p == "vdl":
+        # block-div markup (vietnamdaily.py:117-146)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="cms-title article-title">{f["title"]}</h1>')
+        parts.append(f'<div class="summary cms-desc">{f["description"]}</div>')
+        parts.append(f'<div class="meta clearfix"><time>{f["date_raw"]}</time></div>')
+        tier = h % 3
+        if tier == 0:
+            parts.append(
+                f'<div class="author"><span class="name">{f["author"]}</span></div>'
+            )
+        elif tier == 1:
+            parts.append('<div class="author">Nguồn: tổng hợp</div>')  # no name span
+        # tier 2: no author box at all -> author ""
+        parts.append('<div id="abody" class="cms-body clearfix">')
+        for i, para in enumerate(paras):
+            imgs = img_by_pos.get(i, [])
+            own_block = stable_hash(f"vdlblk|{cu}|{i}", cfg.seed) % 2 == 0
+            if imgs and own_block:
+                # image-only sibling block: contributes images, no text
+                parts.append(f"<div>{para}</div>")
+                parts.append(
+                    "<div>" + "".join(f'<img src="{s}"/>' for s in imgs) + "</div>"
+                )
+            else:
+                inline = "".join(f'<img src="{s}"/>' for s in imgs)
+                parts.append(f"<div>{para}{inline}</div>")
+        parts.append("<!--abody-end--></div>")
+
+    elif p == "skc":
+        # box-author section + pipe-description markup (suckhoecong.py:116-138)
+        parts.append('<section class="box-author">')
+        if f["title"] is not None:
+            parts.append(f"<h1>{f['title']}</h1>")
+        # the ' 03/' tail is the literal split key the reference uses to
+        # shear the date off the info line (suckhoecong.py:123)
+        parts.append(
+            f'<div class="info-author">Sức khỏe cộng đồng | {f["description"]}'
+            " 03/01/2024 08:00</div>"
+        )
+        parts.append(f"<ul><li>{f['date_raw']}</li><li>Theo dõi trên</li></ul>")
+        parts.append("</section>")
+        parts.append('<div class="detail text-justify">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        if h % 4 != 0:
+            parts.append(f'<div class="author-detail">{f["author"]}</div>')
+        parts.append("<!--detail-end--></div>")
+
+    else:
+        raise ValueError(p)
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 def fetch(cfg: WebConfig, url: str) -> str:
     """The network: URL -> HTML.  Pure, deterministic, executor-local."""
     host = url.split("/")[2] if url.startswith("http") else None
@@ -659,6 +974,21 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
         return int(m.group(1)), int(m.group(2))
     if kind == "slug-p":
         m = re.search(r"-(\d+)/p(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "p-slash":
+        m = re.search(r"-(\d+)/p/(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "htm-trang":
+        m = re.search(r"-(\d+)\.htm\?trang=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "slash-qtrang":
+        m = re.search(r"-(\d+)/\?trang=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "hashtag-page":
+        m = re.search(r"/hashtag/.*-(\d+)/page-(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "qpage":
+        m = re.search(r"-(\d+)/\?page=(\d+)$", path)
         return int(m.group(1)), int(m.group(2))
     raise ValueError(url)
 

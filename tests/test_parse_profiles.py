@@ -357,3 +357,279 @@ def test_listing_relative_only_family():
     )
     links, _ = parse_listing(html)
     assert links == ["/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]
+
+
+# --- round-4 profiles (dcs, vne, ktd, tct, vdl, skc) -----------------------
+
+
+def test_dcs_id_selectors_and_theo_prefix():
+    """id-based selectors; img.imgtelerik only; 'Theo ' author prefix strip;
+    title via get_text() WITHOUT strip (dangcongsan.py:113-141)."""
+    html = (
+        '<html><body><h1 id="contenttitle">Tít DCS </h1>'
+        '<div id="description"> Mô tả DCS </div>'
+        '<div id="ngaytao">1/2/2023 10:00</div>'
+        '<div class="noidungtt">'
+        "<p>Đoạn một.</p>"
+        "<p> </p>"
+        '<img class="imgtelerik" src="https://img/t1.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        '<img src="https://img/banner-decoy.jpg"/>'
+        "</div>"
+        '<b id="tacgia">Theo Báo Nhân Dân</b></body></html>'
+    )
+    rec = parse_article(html, "dcs", "https://h")
+    assert rec["title"] == "Tít DCS "  # get_text() keeps the trailing space
+    assert rec["description"] == "Mô tả DCS"
+    assert rec["content"] == "Đoạn một.\n\nĐoạn hai."  # "\n\n" + strip filter
+    assert rec["contentImageUrls"] == ["https://img/t1.jpg"]  # decoy skipped
+    assert rec["author"] == "Báo Nhân Dân"  # "Theo " stripped (:132-135)
+    no_theo = html.replace("Theo Báo Nhân Dân", "Ban Thời sự")
+    assert parse_article(no_theo, "dcs", "https://h")["author"] == "Ban Thời sự"
+    assert parse_article(html.replace('id="contenttitle"', 'id="other"'),
+                         "dcs", "https://h") is None
+
+
+def test_vne_header_scoping():
+    """All four meta fields come from header.detail__header; a decoy title
+    outside the header must not resurrect a headerless page; images from
+    <figure> only (vneconomy.py:117-135)."""
+    html = (
+        '<html><body><header class="detail__header">'
+        '<div class="detail__meta">1/2/2023 10:00</div>'
+        '<h1 class="detail__title">Tít VNE</h1>'
+        '<h2 class="detail__summary">Mô tả VNE</h2>'
+        '<div class="detail__author">Phóng Viên Kinh Tế</div>'
+        "</header>"
+        '<h1 class="detail__title">Tin liên quan decoy</h1>'
+        '<div class="detail__content">'
+        "<p>Đoạn một.</p>"
+        '<figure><img src="https://img/f1.jpg"/></figure>'
+        '<img src="https://img/pixel.gif"/>'
+        "<p>Đoạn hai.</p>"
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "vne", "https://h")
+    assert rec["title"] == "Tít VNE"
+    assert rec["author"] == "Phóng Viên Kinh Tế"
+    assert rec["content"] == "Đoạn một.\n\nĐoạn hai."
+    assert rec["contentImageUrls"] == ["https://img/f1.jpg"]  # bare img skipped
+    # titleless header -> dropped despite the decoy title outside
+    headerless = html.replace('<h1 class="detail__title">Tít VNE</h1>', "")
+    assert parse_article(headerless, "vne", "https://h") is None
+
+
+def test_ktd_datetime_attribute_and_author_chain():
+    """Date from the <time datetime> attribute; 3-tier author chain with the
+    PV / word-count filters; author paragraph stays in the content
+    (kinhtedouong.py:143-175)."""
+    tpl = (
+        '<html><body><div class="title-post">'
+        '<h1 class="title">Tít KTD</h1>'
+        '<time datetime="2023-02-01T10:00:00">1 giờ trước</time></div>'
+        '<h2 class="sum-main">Mô tả KTD</h2>'
+        '<div class="news-content">'
+        "<p>Đoạn một.</p>"
+        '<img src="https://img/k1.jpg"/>'
+        "{author_part}"
+        "</div></body></html>"
+    )
+    t1 = tpl.format(author_part='<p class="alignright"><strong>Tác Giả Một</strong></p>')
+    r1 = parse_article(t1, "ktd", "https://h")
+    assert r1["pub_date_raw"] == "2023-02-01T10:00:00"  # the ATTRIBUTE
+    assert r1["author"] == "Tác Giả Một"
+    assert r1["content"] == "Đoạn một.\n\nTác Giả Một"  # author line kept
+    t2 = tpl.format(author_part='<p class="alignright"><em>Tác Giả Em</em></p>')
+    assert parse_article(t2, "ktd", "https://h")["author"] == "Tác Giả Em"
+    t3 = tpl.format(
+        author_part="<p><strong>Tác Giả Ba</strong></p>"
+        "<p><strong>PV</strong></p>"
+        "<p><strong>GIÁ VÀNG TRONG NƯỚC HÔM NAY TĂNG MẠNH</strong></p>"
+    )
+    assert parse_article(t3, "ktd", "https://h")["author"] == "Tác Giả Ba"
+
+
+def test_tct_sapo_drop_and_unfiltered_join():
+    """Missing sapo drops the article (the re.sub(None) crash path); 'TCCT '
+    prefix stripped; p AND h2 join content WITHOUT an empty filter
+    (tapchicongthuong.py:123-153)."""
+    html = (
+        '<html><body><h1 class="post-title text-left font-playfair">Tít TCT</h1>'
+        '<div class="meta-info"><span class="source"><strong>Nhà Báo T</strong></span></div>'
+        '<div class="sapo title-1 mb-3">TCCT Mô tả TCT</div>'
+        '<div class="post-meta"><span>1/2/2023 10:00</span><span>TCCT</span></div>'
+        '<div id="post_content">'
+        "<p>Đoạn một.</p>"
+        "<h2>Tiểu mục</h2>"
+        "<p></p>"
+        '<figure><img src="https://img/t1.jpg"/><figcaption>chú thích</figcaption></figure>'
+        "<p>Đoạn hai.</p>"
+        '<img src="https://img/logo-decoy.png"/>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "tct", "https://h")
+    assert rec["description"] == "Mô tả TCT"  # TCCT prefix stripped (:132)
+    assert rec["author"] == "Nhà Báo T"
+    # h2 joins content; empty <p></p> KEPT -> double separator (:141-143)
+    assert rec["content"] == "Đoạn một.\n\nTiểu mục\n\n\n\nĐoạn hai."
+    assert rec["contentImageUrls"] == ["https://img/t1.jpg"]  # figure only
+    no_sapo = html.replace('<div class="sapo title-1 mb-3">TCCT Mô tả TCT</div>', "")
+    assert parse_article(no_sapo, "tct", "https://h") is None  # crash-drop
+
+
+def test_vdl_block_divs_and_author_box():
+    """Content from direct-child <div> blocks (text then images per block),
+    joined with a SINGLE newline; image-only blocks contribute images only;
+    author div.author > span.name else '' (vietnamdaily.py:123-146)."""
+    html = (
+        '<html><body><h1 class="cms-title article-title">Tít VDL</h1>'
+        '<div class="summary cms-desc">Mô tả VDL</div>'
+        '<div class="meta clearfix"><time>1/2/2023 10:00</time></div>'
+        '<div class="author"><span class="name">Cây Bút V</span></div>'
+        '<div id="abody" class="cms-body clearfix">'
+        '<div>Khối một.<img src="https://img/v1.jpg"/></div>'
+        '<div><img src="https://img/v2.jpg"/></div>'
+        "<div>Khối hai.</div>"
+        "<!--abody-end--></div></body></html>"
+    )
+    rec = parse_article(html, "vdl", "https://h")
+    assert rec["content"] == "Khối một.\nKhối hai."  # "\n" join, img-only block skipped
+    assert rec["contentImageUrls"] == ["https://img/v1.jpg", "https://img/v2.jpg"]
+    assert rec["author"] == "Cây Bút V"
+    nameless = html.replace('<span class="name">Cây Bút V</span>', "Nguồn: tổng hợp")
+    assert parse_article(nameless, "vdl", "https://h")["author"] == ""
+    boxless = html.replace(
+        '<div class="author"><span class="name">Cây Bút V</span></div>', ""
+    )
+    assert parse_article(boxless, "vdl", "https://h")["author"] == ""
+
+
+def test_skc_pipe_description_and_author_detail():
+    """Description sheared at the literal ' 03/' then '... | ' prefix strip;
+    date from the section's first <li>; unfiltered "\\n\\n" p-join; author
+    div.author-detail else None (suckhoecong.py:116-138)."""
+    html = (
+        '<html><body><section class="box-author">'
+        "<h1>Tít SKC</h1>"
+        '<div class="info-author">Sức khỏe cộng đồng | Mô tả SKC 03/01/2024 08:00</div>'
+        "<ul><li>1/2/2023 10:00</li><li>Theo dõi trên</li></ul>"
+        "</section>"
+        '<div class="detail text-justify">'
+        "<p>Đoạn một.</p>"
+        "<p></p>"
+        '<img src="https://img/s1.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        '<div class="author-detail">BS. Hải Yến</div>'
+        "<!--detail-end--></div></body></html>"
+    )
+    rec = parse_article(html, "skc", "https://h")
+    assert rec["description"] == "Mô tả SKC"  # ' 03/' split + pipe strip
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"  # first <li>
+    assert rec["content"] == "Đoạn một.\n\n\n\nĐoạn hai."  # empty p KEPT
+    assert rec["contentImageUrls"] == ["https://img/s1.jpg"]
+    assert rec["author"] == "BS. Hải Yến"
+    no_author = html.replace('<div class="author-detail">BS. Hải Yến</div>', "")
+    assert parse_article(no_author, "skc", "https://h")["author"] is None
+
+
+def test_round4_listing_families():
+    """Each new family's container scoping + decoy behavior
+    (dangcongsan.py:199-209, vneconomy.py:193-209, kinhtedouong.py:231-240,
+    tapchicongthuong.py:210-225, vietnamdaily.py:204-219,
+    suckhoecong.py:196-207)."""
+    khuvuc = (
+        '<html><body><div id="KhuVuc_3">'
+        '<a href="/a/bai-viet-1000001.html">x</a>'
+        '<a href="/a/bai-viet-1000002.html">y</a>'
+        '</div><a href="/sitemap">ngoài container</a></body></html>'
+    )
+    assert parse_listing(khuvuc, "khuvuc-anchors")[0] == [
+        "/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]
+
+    vne = (
+        '<html><body><div class="col-12 col-lg-9 column-border">'
+        "<article><span>quảng cáo</span></article>"
+        '<article><a href="/a/bai-viet-1000001.html">x</a>'
+        '<a href="#comments">decoy thứ hai</a></article>'
+        '<article><a href="https://h/a/bai-viet-1000002.html">y</a></article>'
+        "</div><!--col-end--></body></html>"
+    )
+    assert parse_listing(vne, "article-first-a")[0] == [
+        "/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+    ktd = (
+        '<html><body><div class="item-post"><a href="/a/bai-viet-1000001.html">x</a></div>'
+        '<a href="/lien-he">ngoài item-post</a>'
+        '<div class="item-post"><a href="https://h/a/bai-viet-1000002.html">y</a></div>'
+        "</body></html>"
+    )
+    assert parse_listing(ktd, "item-post")[0] == [
+        "/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+    tct = (
+        '<html><body><div class="widget-layout-1 pt-4 mb-4">'
+        '<a href="/a/bai-viet-1000001.html">x</a></div>'
+        '<div class="list-view">'
+        '<a href="/a/bai-viet-1000002.html">y</a>'
+        '<a href="/a/bai-viet-1000001.html">dup</a>'
+        '<a href="https://ads.example.com/sponsor">qc</a>'
+        "</div></body></html>"
+    )
+    assert parse_listing(tct, "two-container")[0] == [
+        "/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]
+
+    vdl = (
+        '<html><body><ul class="zone category-listing-story">'
+        '<li><article><a href="/khuyen-mai">không phải story</a></article></li>'
+        '<li><article class="story"><a href="/a/bai-viet-1000001.html">x</a></article></li>'
+        '<li><article class="story"><a href="/a/bai-viet-1000002.html">y</a></article></li>'
+        "</ul></body></html>"
+    )
+    assert parse_listing(vdl, "zone-story")[0] == [
+        "/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]
+
+    skc = (
+        '<html><body><div class="list-new-cate">'
+        '<a class="link-title" href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="/rss">không có class</a>'
+        '<a class="link-title" href="https://h/a/bai-viet-1000002.html">y</a>'
+        "</div></body></html>"
+    )
+    assert parse_listing(skc, "link-title")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+
+def test_family_dispatch_beats_content_sniff():
+    """A page mixing two families' markup parses per the HOST's registered
+    family, not per whichever regex fires first (the round-3 advice item)."""
+    mixed = (
+        '<html><body>'
+        '<h3 class="title-news"><a href="/decoy/bai-viet-1000009.html">vnx-shape</a></h3>'
+        '<div id="KhuVuc_3"><a href="/a/bai-viet-1000001.html">dcs-shape</a></div>'
+        "</body></html>"
+    )
+    assert parse_listing(mixed, "khuvuc-anchors")[0] == ["/a/bai-viet-1000001.html"]
+    assert parse_listing(mixed, "h3-title-news")[0] == ["/decoy/bai-viet-1000009.html"]
+
+
+def test_round4_pagination_roundtrip():
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    cases = {
+        "dcs1.example.vn": ".aspx?Page=",
+        "vne1.example.vn": ".htm?trang=",
+        "ktd1.example.vn": "/?trang=",
+        "tct1.example.vn": "/page-",
+        "vdl1.example.vn": "/?page=",
+        "skc1.example.vn": "/p",
+        "qdn1.example.vn": "/p/",  # quandoinhandan.py:186 — fixed borrow
+    }
+    for host, marker in cases.items():
+        for t in (0, 1):
+            for p in (1, 2, 9):
+                u = hs.listing_url(web, host, t, p)
+                assert marker in u, (host, u)
+                assert hs.parse_listing_url(web, host, u) == (t, p), u
+    assert hs.listing_url(web, "tct1.example.vn", 0, 2).startswith(
+        "https://tct1.example.vn/hashtag/")

@@ -89,11 +89,16 @@ def test_robots_filter_many_hosts_broadcast(spark):
     rows += [(f"h{i}.vn", f"https://h{i}.vn/public/x.html") for i in range(1000)]
     df = spark.createDataFrame(rows, "host string, canonical_url string")
     out = robots_filter(df, rules)
-    plan = plan_of(out)
-    assert "BroadcastHashJoin" in plan
     got = out.collect()
     assert len(got) == 1000
     assert all("/public/" in r["canonical_url"] for r in got)
+    # no forced broadcast hint (at 10^8 hosts the dim must be allowed to
+    # shuffle-join, ADVICE r03) — AQE still picks a broadcast join for this
+    # small dim at runtime; the FINAL adaptive plan shows it
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and the plan is a single join, not an O(#hosts) predicate chain
+    assert plan.count("rlike") <= 2
 
 
 def test_articles_crawl_order_is_distributed(spark, tmp_path_factory):
