@@ -101,8 +101,14 @@ def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
         CrawlRunConfig(batch_pages=batch_pages, bloom_buckets=8,
                        bloom_expected_per_bucket=262144),
     )
-    # warm up the session (JVM + python workers) so timing is steady-state
+    # warm up the session (JVM + python workers) so timing is steady-state —
+    # the mapInPandas pass forks the Arrow Python workers, which otherwise
+    # cold-start inside the first measured wave (~3 s on 32 cores)
     spark.range(1000).selectExpr("sum(id)").collect()
+    n_par = spark.sparkContext.defaultParallelism
+    spark.range(n_par * 2, numPartitions=n_par).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     t0 = time.time()
     wc.run()
     wall = time.time() - t0

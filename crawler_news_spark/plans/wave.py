@@ -293,6 +293,24 @@ class WaveCrawl:
         if has_listings or has_articles:
             scheduled = scheduled.cache()
 
+        # the clock state snapshot depends only on the (already-materialized)
+        # politeness counts — write it on a background thread so its ~0.5 s
+        # job hides under the wave's fetch+parse work; joined before the
+        # wave commit, so crash-exactness is unchanged (an uncommitted clock
+        # dir is pruned like any other debris)
+        import threading
+
+        clock_err: list[BaseException] = []
+
+        def _write_clock():
+            try:
+                cat.write("clock", wave, new_clock_df, parts)
+            except BaseException as e:  # re-raised on join
+                clock_err.append(e)
+
+        clock_thread = threading.Thread(target=_write_clock, daemon=True)
+        clock_thread.start()
+
         # newest merged filter state (includes inject_requests pre-writes)
         bloom_tbl = cat.read_latest_state("bloom", wave)
         n_bloom_fp = 0
@@ -344,10 +362,13 @@ class WaveCrawl:
                 new_rows, recovered = S.seen_anti_join(
                     candidates, seen_tbl, self.bloom_state, bloom_tbl
                 )
-                n_bloom_fp = recovered.count() if recovered is not None else 0
             else:
-                new_rows, _ = S.seen_anti_join(candidates, seen_tbl)
+                new_rows, recovered = S.seen_anti_join(candidates, seen_tbl)
             new_rows = new_rows.cache()
+            # materializes new_rows AND (first-touch) the parsed_listings
+            # cache; the remaining wave scalars (n_listing_next, n_bloom_fp)
+            # are counted in ONE follow-up job below — each standalone
+            # count() is ~0.5-1 s of job overhead per wave (r04 profile)
             n_new = new_rows.count()
 
             # stop rule + next listing batch — fully distributed: the
@@ -396,7 +417,21 @@ class WaveCrawl:
                     F.lit(1.0 / (2 + wave)).alias("priority"),
                 )
             )
-            n_listing_next = next_listings.count()
+            # one union-count job for both remaining scalars: next-listing
+            # rows and bloom false positives (their subtrees read only the
+            # cached parsed_listings / tiny dims, so the merged job costs one
+            # scheduling round-trip instead of two)
+            scalar_df = next_listings.select(F.lit("nxt").alias("_k"))
+            if recovered is not None:
+                scalar_df = scalar_df.unionByName(
+                    recovered.select(F.lit("fp").alias("_k"))
+                )
+            scalars = {
+                r["_k"]: int(r["n"])
+                for r in scalar_df.groupBy("_k").agg(F.count("*").alias("n")).collect()
+            }
+            n_listing_next = scalars.get("nxt", 0)
+            n_bloom_fp = scalars.get("fp", 0)
 
             lineage_parts.append(
                 parsed_listings.groupBy("host")
@@ -574,8 +609,11 @@ class WaveCrawl:
             cat.write("lineage", wave, lineage, parts)
 
         # per-host virtual clock: a catalog state table (crash-safe with the
-        # wave commit; resume reads it back) — manifest keeps only scalars
-        cat.write("clock", wave, new_clock_df, parts)
+        # wave commit; resume reads it back) — written concurrently above,
+        # joined here so the commit covers it
+        clock_thread.join()
+        if clock_err:
+            raise clock_err[0]
         cat.commit_wave(
             wave,
             {
