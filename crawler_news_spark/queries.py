@@ -464,16 +464,13 @@ SQL_TOP_REVENUE_NATIONS = """
 """
 
 
-def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3-shaped: top-10 unshipped orders by revenue — selective
-    filters on both sides reach the scans, the aggregate shuffles only the
-    filtered join output, and the global top-10 is a distributed partial
-    top-k (TakeOrderedAndProject), never a single-task global window: each
-    task keeps its local top-10 and only 10 rows per partition reach the
-    driver.  Rank is then stamped on the k=10 collected rows driver-side
-    (O(k) work, no WindowExec anywhere in the plan)."""
-    from pyspark.sql import types as T
-
+def shipping_priority_top(spark, sf_dir):
+    """The distributed part of q_shipping_priority: filtered 3-way join ->
+    hash aggregate -> orderBy+limit(10), which Spark plans as
+    TakeOrderedAndProject (bounded per-partition heaps; 10 rows per
+    partition reach the driver).  Exposed separately so the plan audit can
+    inspect it — the registry query wraps it with driver-side rank
+    stamping over the k=10 collected rows."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
@@ -494,7 +491,18 @@ def q_shipping_priority(spark, sf_dir):
     )
     # orderBy + limit plans TakeOrderedAndProject: per-partition bounded
     # heaps, merge of 10-row heads — linear scan, no global sort/shuffle.
-    top = agg.orderBy(F.desc("revenue_c"), F.asc("l_orderkey")).limit(10)
+    return agg.orderBy(F.desc("revenue_c"), F.asc("l_orderkey")).limit(10)
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue — the global
+    top-10 is a distributed partial top-k (TakeOrderedAndProject, see
+    :func:`shipping_priority_top`), never a single-task global window.
+    Rank is stamped on the k=10 collected rows driver-side (O(k) work, no
+    WindowExec anywhere in the plan)."""
+    from pyspark.sql import types as T
+
+    top = shipping_priority_top(spark, sf_dir)
     rows = top.collect()  # exactly k=10 rows by construction
     schema = T.StructType(
         list(top.schema.fields) + [T.StructField("rank", T.IntegerType(), False)]
