@@ -24,6 +24,9 @@ def listing_url_expr(host: Column, slug: Column, pag_kind: Column,
     brsr = (20 * (page_no - 1)).cast("string")
     pg0 = (page_no - 1).cast("string")
     base = F.concat(F.lit("https://"), host, F.lit("/"), slug)
+    # an unknown kind must FAIL LOUDLY, not emit NULL URLs into the
+    # frontier — raise_error in the otherwise branch (r04: seven kinds were
+    # silently NULL here while fetch re-derived URLs from (host,type,page))
     return (
         F.when(pag_kind == "one-shot", base)
         .when(pag_kind == "suffix-p", F.concat(base, F.lit("-p"), pg))
@@ -40,4 +43,19 @@ def listing_url_expr(host: Column, slug: Column, pag_kind: Column,
             .otherwise(F.concat(base, F.lit("/p"), pg)),
         )
         .when(pag_kind == "slug-p", F.concat(base, F.lit("/p"), pg))
+        .when(pag_kind == "p-slash", F.concat(base, F.lit("/p/"), pg))
+        .when(pag_kind == "htm-trang", F.concat(base, F.lit(".htm?trang="), pg))
+        .when(pag_kind == "slash-qtrang", F.concat(base, F.lit("/?trang="), pg))
+        .when(
+            pag_kind == "hashtag-page",
+            F.concat(F.lit("https://"), host, F.lit("/hashtag/"), slug,
+                     F.lit("/page-"), pg),
+        )
+        .when(pag_kind == "qpage", F.concat(base, F.lit("/?page="), pg))
+        .when(pag_kind == "qmark-page", F.concat(base, F.lit("?page="), pg))
+        .when(pag_kind == "trang-html",
+              F.concat(base, F.lit("/trang-"), pg, F.lit(".html")))
+        .otherwise(
+            F.raise_error(F.concat(F.lit("unknown pagination kind: "), pag_kind))
+        )
     )

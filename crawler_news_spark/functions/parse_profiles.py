@@ -140,7 +140,8 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     Output keys: title, description, content, pub_date_raw, author, imageUrl,
     comments, contentImageUrls, spans.
     """
-    if profile in ("dcs", "vne", "ktd", "tct", "vdl", "skc"):
+    if profile in ("dcs", "vne", "ktd", "tct", "vdl", "skc",
+                   "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl"):
         return _parse_article_v2(html, profile, base_url)
     # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141);
     # cnd reads h1.postTitle (congnghevadoisong.py:116)
@@ -456,6 +457,87 @@ _RE_TCCT = re.compile(r"^TCCT\s+")  # tapchicongthuong.py:132
 
 _STRIP_TAGS = re.compile(r"<[^>]+>")
 
+_RE_TITLE_BVL = re.compile(r'<h1 class="post-title">(.*?)</h1>')
+_RE_DATE_BVL = re.compile(r'<div class="lbPublishedDate">(.*?)</div>')
+_RE_DESC_BVL = re.compile(r'<div class="post-summary"><h2>(.*?)</h2></div>')
+_RE_BODY_BVL = re.compile(r'<div class="noidung">(.*?)</div>', re.S)
+_RE_IMGDIV_BVL = re.compile(r'<div class="post-content">(.*?)</div>', re.S)
+_RE_AUTHOR_BVL = re.compile(r'<div class="tacgia">(.*?)</div>')
+_RE_P_PLAIN = re.compile(r"<p>(.*?)</p>", re.S)
+
+_RE_TITLE_TCD = re.compile(r'<h1 class="detail-title">(.*?)</h1>')
+_RE_DESC_TCD = re.compile(r'<div class="detail-intro"><p class="caption">(.*?)</p></div>')
+_RE_DATE_TCD = re.compile(r'<div class="datetimeup">(.*?)</div>')
+_RE_BODY_TCD = re.compile(r'<div id="main-detail">(.*?)</div>', re.S)
+_RE_WALK_TCD = re.compile(
+    r'<p(?: style="text-align: right;")?>(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+_RE_RIGHT_P_TCD = re.compile(r'<p style="text-align: right;">(.*?)</p>', re.S)
+_RE_STRONG = re.compile(r"<strong>(.*?)</strong>")
+
+_RE_H1_FIRST = re.compile(r"<h1>(.*?)</h1>")
+_RE_DESC_TTA = re.compile(r'<h5 class="short-desc">(.*?)</h5>')
+_RE_DATE_TTA = re.compile(r'<div class="post-meta"><span>(.*?)</span>')
+_RE_AUTHOR_TTA = re.compile(r'<span class="author">(.*?)</span>')
+_RE_BODY_TTA = re.compile(r'<div class="post-entry">(.*?)</div>', re.S)
+_RE_WALK_TTA = re.compile(r"<p>(?P<para>.*?)</p>|<img src=\"(?P<img>.*?)\"/>", re.S)
+
+_RE_TITLE_BDU = re.compile(r'<div class="title-detail">(.*?)</div>')
+_RE_AUTHOR_BDU = re.compile(r'<a class="author">(.*?)</a>')
+_RE_DATE_BDU = re.compile(r'<span class="post-time">(.*?)</span>')
+_RE_DESC_BDU = re.compile(r'<div class="sapo_detail">(.*?)</div>')
+_RE_BODY_BDU = re.compile(r'<div id="content_detail_news">(.*?)</div>', re.S)
+_RE_WALK_BDU = re.compile(r"<p>(?P<para>.*?)</p>|<img src=\"(?P<img>.*?)\"/>", re.S)
+
+_RE_TITLE_PNM = re.compile(r'<h1 class="articleTitle">(.*?)</h1>')
+_RE_DESC_PNM = re.compile(r'<div class="articleShortDesc mt10">(.*?)</div>')
+_RE_DATE_PNM = re.compile(r'<time class="articleTimePosted">(.*?)</time>')
+_RE_BODY_PNM = re.compile(r'<div itemprop="articleBody">(.*?)</div>', re.S)
+# srcless lazyload decoys must not contribute (phunumoi.py:127 checks
+# 'src' in img.attrs)
+_RE_WALK_PNM = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<img src="(?P<img>.*?)"/>'
+    r"|<img [^>]*/>",
+    re.S,
+)
+_RE_AUTHOR_PNM = re.compile(r'<p class="author-news">(.*?)</p>')
+
+_RE_HEADER_VTC = re.compile(r'<header class="mb5">(.*?)</header>', re.S)
+_RE_H2_FIRST = re.compile(r"<h2>(.*?)</h2>")
+_RE_DATE_VTC = re.compile(r'<span class="time-update">(.*?)</span>')
+_RE_BODY_VTC = re.compile(r'<div class="edittor-content">(.*?)</div>', re.S)
+# images ONLY from figure.expNoEdit img[data-src] (vtcnews.py:169-170)
+_RE_WALK_VTC = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<figure class="expNoEdit"><img data-src="(?P<img>.*?)"/></figure>'
+    r'|<img src="[^"]*"/>',
+    re.S,
+)
+_RE_AUTHOR_VTC = re.compile(r'<div class="author-make"><span>(.*?)</span></div>')
+
+_RE_TITLE_CGL = re.compile(
+    r'<h1 class="sc-longform-header-title block-sc-title">(.*?)</h1>'
+)
+_RE_DESC_CGL = re.compile(
+    r'<p class="sc-longform-header-sapo block-sc-sapo">(.*?)</p>'
+)
+_RE_DATE_CGL = re.compile(
+    r'<span class="sc-longform-header-date block-sc-publish-time">(.*?)</span>'
+)
+_RE_AUTHOR_CGL = re.compile(
+    r'<span class="sc-longform-header-author block-sc-author">(.*?)</span>'
+)
+_RE_BODY_CGL = re.compile(r'<div class="entry entry-no-padding">(.*?)</div>', re.S)
+_RE_WALK_CGL = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<figure><img src="(?P<img>.*?)"/></figure>'
+    r'|<img src="[^"]*"/>',
+    re.S,
+)
+
 
 def _walk2(body: str, walk_re: re.Pattern) -> list[tuple[str, str]]:
     """In-order (kind, value) walk for the v2 profiles; decoy alternatives
@@ -648,6 +730,164 @@ def _parse_article_v2(html: str, profile: str, base_url: str) -> dict | None:
                     date_raw.strip() if date_raw else None,
                     author.strip() if author else None, images, texts)
 
+    if profile == "bvl":
+        # split-container family (baovephapluat.py:139-168): content text
+        # comes from div.noidung <p>s ("\n\n", empties KEPT) while images
+        # come from a DIFFERENT div (div.post-content) and only when the
+        # src contains the site's own domain (:158-163) — off-domain CDN
+        # decoys dropped; description is the h2 NESTED in div.post-summary
+        title = _first(_RE_TITLE_BVL, html)
+        if title is None:
+            return None
+        date_raw = _first(_RE_DATE_BVL, html)
+        desc = _first(_RE_DESC_BVL, html)
+        m = _RE_BODY_BVL.search(html)
+        texts = [p.strip() for p in _RE_P_PLAIN.findall(m.group(1))] if m else []
+        mi = _RE_IMGDIV_BVL.search(html)
+        host = base_url.split("://", 1)[-1]
+        images = [
+            u for u in _RE_IMG_PLAIN.findall(mi.group(1)) if host in u
+        ] if mi else []
+        author = _first(_RE_AUTHOR_BVL, html)
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n\n".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "tcd":
+        # list-content family (tapchidientu.py:121-148): the reference
+        # leaves content as the LIST of paragraph texts (never joined —
+        # the only site whose record carries an array); the engine's typed
+        # schema pins the canonical "\n" join for the string column and
+        # carries the exact list as span_texts.  Author = last
+        # p[style=text-align: right] that has a <strong> (:141-146)
+        title = _first(_RE_TITLE_TCD, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_TCD, html)
+        date_raw = _first(_RE_DATE_TCD, html)
+        m = _RE_BODY_TCD.search(html)
+        body = m.group(1) if m else ""
+        walk = _walk2(body, _RE_WALK_TCD)
+        texts = [_STRIP_TAGS.sub("", v).strip() for k, v in walk if k == "text"]
+        images = [v for k, v in walk if k == "image"]
+        author = None
+        for p in reversed(_RE_RIGHT_P_TCD.findall(body)):
+            sm = _RE_STRONG.search(p)
+            if sm:
+                author = sm.group(1).strip()
+                break
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw.strip() if date_raw else None,
+                    author, images, texts)
+
+    if profile == "tta":
+        # first-h1 family (tapchitoaan.py:118-142): title is the FIRST <h1>
+        # in the document (select_one("h1") — no class); content is the
+        # whole post-entry get_text(separator=" ", strip=True) = stripped
+        # nonempty fragments joined with " "; images deduped keep-first
+        # (:136); author span.author
+        title = _first(_RE_H1_FIRST, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_TTA, html)
+        date_raw = _first(_RE_DATE_TTA, html)
+        author = _first(_RE_AUTHOR_TTA, html)
+        m = _RE_BODY_TTA.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_TTA) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]
+        texts = [t for t in texts if t]
+        images: list[str] = []
+        for k, v in walk:
+            if k == "image" and v not in images:
+                images.append(v)
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    " ".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "bdu":
+        # div-title family (baodautu.py:122-136): the title lives in a DIV
+        # (not an h1); the post-time is sheared with strip(' -') — leading/
+        # trailing spaces AND dashes removed (:126); content p join "\n\n"
+        # with empties KEPT; author is an <a class="author">
+        title = _first(_RE_TITLE_BDU, html)
+        if title is None:
+            return None
+        author = _first(_RE_AUTHOR_BDU, html)
+        date_raw = _first(_RE_DATE_BDU, html)
+        if date_raw is not None:
+            date_raw = date_raw.strip(" -")
+        desc = _first(_RE_DESC_BDU, html)
+        m = _RE_BODY_BDU.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_BDU) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n\n".join(texts), date_raw,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "pnm":
+        # itemprop-selector crash-drop family (phunumoi.py:115-130): every
+        # field access is an unguarded .get_text() — a missing title, desc,
+        # date, articleBody div OR author crashes extract_content into the
+        # broad except and drops the article; content div selected by the
+        # ITEMPROP attribute, not a class; "\n" join with empties KEPT;
+        # srcless <img> decoys skipped (:127)
+        title = _first(_RE_TITLE_PNM, html)
+        desc = _first(_RE_DESC_PNM, html)
+        date_raw = _first(_RE_DATE_PNM, html)
+        m = _RE_BODY_PNM.search(html)
+        author = _first(_RE_AUTHOR_PNM, html)
+        if title is None or desc is None or date_raw is None or m is None \
+                or author is None:
+            return None  # any missing field -> AttributeError -> drop
+        walk = _walk2(m.group(1), _RE_WALK_PNM)
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip(), "\n".join(texts),
+                    date_raw.strip(), author.strip(), images, texts)
+
+    if profile == "vtc":
+        # header-h1 + first-h2 family (vtcnews.py:155-175): title is the h1
+        # INSIDE header.mb5; description is the FIRST <h2> in the document
+        # ('' when absent); content .edittor-content p stripped+filtered
+        # "\n"; images ONLY figure.expNoEdit img[data-src]; author
+        # .author-make span ('' when absent)
+        header = _first(_RE_HEADER_VTC, html)
+        if header is None:
+            return None
+        title = _first(_RE_H1_FIRST, header)
+        if title is None:
+            return None
+        desc = _first(_RE_H2_FIRST, html)
+        date_raw = _first(_RE_DATE_VTC, html)
+        m = _RE_BODY_VTC.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_VTC) if m else []
+        paras = [v.strip() for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR_VTC, html)
+        return _rec(title.strip(), desc.strip() if desc else "",
+                    "\n".join(paras), date_raw.strip() if date_raw else None,
+                    author.strip() if author else "", images, paras)
+
+    if profile == "cgl":
+        # longform-header family (congly.py:126-160): sc-longform-header-*
+        # selectors; content div.entry all p joined "\n" with empties KEPT;
+        # images from <figure> wrappers only; author else None
+        title = _first(_RE_TITLE_CGL, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_CGL, html)
+        date_raw = _first(_RE_DATE_CGL, html)
+        author = _first(_RE_AUTHOR_CGL, html)
+        m = _RE_BODY_CGL.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_CGL) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
     raise ValueError(f"unknown v2 profile {profile}")
 
 
@@ -668,6 +908,20 @@ _RE_ZONE_STORY = re.compile(
 )
 _RE_STORY_SPAN = re.compile(r'<article class="story">(.*?)</article>', re.S)
 _RE_LINK_TITLE = re.compile(r'<a class="link-title" href="(.*?)">')
+_RE_CTRANGC3 = re.compile(r'<div class="ctrangc3">(.*?)</div>', re.S)
+_RE_THUMB_A = re.compile(r'<a class="thumb300x170" href="(.*?)">')
+_RE_POST_ENTRY2 = re.compile(
+    r'<div class="d-md-flex post-entry-2 small-img">(.*?)</div>', re.S
+)
+_RE_COL_LG8 = re.compile(r'<div class="col-lg-8">(.*?)</div>', re.S)
+_RE_LI_SPAN = re.compile(r"<li>(.*?)</li>", re.S)
+_RE_UL_LNH = re.compile(r'<ul class="list_news_home">(.*?)</ul>', re.S)
+_RE_NEWS2_SECTION = re.compile(
+    r'<div class="col-xs-12 col-sm-8 col-md-8 news2">(.*?)<!--news2-end-->', re.S
+)
+_RE_NEWS2_ITEM = re.compile(r'<div class="news2Item">(.*?)</div>', re.S)
+_RE_ONECMS_UL = re.compile(r'<ul class="onecms__loading">(.*?)</ul>', re.S)
+_RE_BGRID_A = re.compile(r'<h3 class="b-grid__title"><a href="(.*?)">')
 
 
 def _fam_h3_title_news(html: str) -> list[str]:
@@ -782,6 +1036,68 @@ def _fam_link_title(html: str) -> list[str]:
     return _RE_LINK_TITLE.findall(html)
 
 
+def _fam_ctrangc3(html: str) -> list[str]:
+    # div.ctrangc3, ALL a[href] inside, hrefs as-is (baovephapluat.py:227-234)
+    m = _RE_CTRANGC3.search(html)
+    return _RE_A_HREF.findall(m.group(1)) if m else []
+
+
+def _fam_thumb_class(html: str) -> list[str]:
+    # a.thumb300x170 anywhere in the document; class-less anchors skipped
+    # (tapchidientu.py:205-212)
+    return _RE_THUMB_A.findall(html)
+
+
+def _fam_two_phase(html: str) -> list[str]:
+    # ALL post-entry-2 containers' first anchors, THEN the col-lg-8 header
+    # containers' first anchors — two-phase document order; the empty-page
+    # check looks only at the FIRST set (tapchitoaan.py:200-216)
+    entries = [_RE_A_HREF.search(m.group(1)) for m in _RE_POST_ENTRY2.finditer(html)]
+    links = [a.group(1) for a in entries if a]
+    if not links:
+        return []
+    for m in _RE_COL_LG8.finditer(html):
+        a = _RE_A_HREF.search(m.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_news2item(html: str) -> list[str]:
+    # news2 section div, div.news2Item > first a[href] each
+    # (phunumoi.py:189-198)
+    m = _RE_NEWS2_SECTION.search(html)
+    if not m:
+        return []
+    links = []
+    for im in _RE_NEWS2_ITEM.finditer(m.group(1)):
+        a = _RE_A_HREF.search(im.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_bgrid_title(html: str) -> list[str]:
+    # selenium one-shot: ul.onecms__loading, h3.b-grid__title > a — the
+    # reference accumulates a SET across load-more clicks (congly.py:213-233);
+    # document order is the pinned deterministic stand-in for set order
+    m = _RE_ONECMS_UL.search(html)
+    return _RE_BGRID_A.findall(m.group(1)) if m else []
+
+
+def _fam_ul_li_first_a(html: str) -> list[str]:
+    # ul.list_news_home li > first a[href] each (baodautu.py:194-202)
+    m = _RE_UL_LNH.search(html)
+    if not m:
+        return []
+    links = []
+    for lm in _RE_LI_SPAN.finditer(m.group(1)):
+        a = _RE_A_HREF.search(lm.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
 LISTING_PARSERS = {
     "h3-title-news": _fam_h3_title_news,
     "article-walk": _fam_article_walk,
@@ -795,13 +1111,20 @@ LISTING_PARSERS = {
     "two-container": _fam_two_container,
     "zone-story": _fam_zone_story,
     "link-title": _fam_link_title,
+    "ctrangc3": _fam_ctrangc3,
+    "thumb-class": _fam_thumb_class,
+    "two-phase": _fam_two_phase,
+    "ul-li-first-a": _fam_ul_li_first_a,
+    "news2item": _fam_news2item,
+    "bgrid-title": _fam_bgrid_title,
 }
 
 # sniff order for family=None callers: container-gated families first (their
 # gates are unambiguous), anchor-shape families after
 _SNIFF_ORDER = (
     "khuvuc-anchors", "article-first-a", "item-post", "two-container",
-    "zone-story", "link-title", "h3-title-news", "article-walk",
+    "zone-story", "link-title", "ctrangc3", "thumb-class", "two-phase",
+    "ul-li-first-a", "news2item", "bgrid-title", "h3-title-news", "article-walk",
     "multi-class", "newstitle-div", "relative-only", "http-filter",
 )
 

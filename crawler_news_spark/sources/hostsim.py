@@ -43,7 +43,8 @@ def stable_hash(s: str, seed: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt", "cnd",
-            "dcs", "vne", "ktd", "tct", "vdl", "skc")
+            "dcs", "vne", "ktd", "tct", "vdl", "skc",
+            "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
@@ -61,6 +62,13 @@ PAGINATION = {
     "tct": "hashtag-page",  # https://{h}/hashtag/{slug}/page-{n}  tapchicongthuong.py:199
     "vdl": "qpage",  # https://{h}/{slug}/?page={n}           vietnamdaily.py:191
     "skc": "slug-p",  # https://{h}/{slug}/p{n}               suckhoecong.py:185
+    "bvl": "p-slash",  # https://{h}/{slug}/p/{n}             baovephapluat.py:214
+    "tcd": "slug-p",  # https://{h}/{slug}/p{n}               tapchidientu.py:194
+    "tta": "qmark-page",  # https://{h}/{slug}?page={n}       tapchitoaan.py:187
+    "bdu": "slug-p",  # https://{h}/{slug}/p{n}               baodautu.py:182
+    "pnm": "slug-p",  # https://{h}/{slug}/p{n}               phunumoi.py:176
+    "vtc": "trang-html",  # https://{h}/{slug}/trang-{n}.html vtcnews.py:219
+    "cgl": "one-shot",  # selenium load-more, no paged URL    congly.py:201-233
 }
 
 CONTENT_JOIN = {  # §2.3 P3
@@ -71,6 +79,14 @@ CONTENT_JOIN = {  # §2.3 P3
     # vietnamdaily joins blocks with a single "\n" (vietnamdaily.py:139)
     "dcs": "\n\n", "vne": "\n\n", "ktd": "\n\n", "tct": "\n\n",
     "vdl": "\n", "skc": "\n\n",
+    # bvl "\n\n" (baovephapluat.py:154); tcd: the reference keeps content
+    # as a LIST (tapchidientu.py:126) — the engine's string column pins
+    # "\n"; tta " " (get_text separator, tapchitoaan.py:122);
+    # bdu "\n\n" (baodautu.py:132)
+    "bvl": "\n\n", "tcd": "\n", "tta": " ", "bdu": "\n\n",
+    # pnm "\n" (phunumoi.py:126); vtc "\n" (vtcnews.py:162);
+    # cgl "\n" (congly.py:152)
+    "pnm": "\n", "vtc": "\n", "cgl": "\n",
 }
 
 # Listing-extraction families (F4) — the reference exhibits ~30 per-site
@@ -114,6 +130,23 @@ LISTING_FAMILY = {
     "tct": "two-container",
     "vdl": "zone-story",
     "skc": "link-title",
+    # round-4b families:
+    # - ctrangc3:      div.ctrangc3, ALL a[href] (baovephapluat.py:227-234)
+    # - thumb-class:   a.thumb300x170 anywhere (tapchidientu.py:205-212)
+    # - two-phase:     post-entry-2 first-a's THEN col-lg-8 first-a's;
+    #                  empty check on the first set only (tapchitoaan.py:200-216)
+    # - ul-li-first-a: ul.list_news_home li > first a (baodautu.py:194-202)
+    "bvl": "ctrangc3",
+    "tcd": "thumb-class",
+    "tta": "two-phase",
+    "bdu": "ul-li-first-a",
+    # - news2item:    news2 section, div.news2Item > first a (phunumoi.py:189-198)
+    # - article-walk: vtc shares the heading-walk family (vtcnews.py:231-243)
+    # - bgrid-title:  ul.onecms__loading h3.b-grid__title > a, selenium
+    #                 one-shot set (congly.py:213-233)
+    "pnm": "news2item",
+    "vtc": "article-walk",
+    "cgl": "bgrid-title",
 }
 
 _VNN_TITLE_CLASSES = ("horizontalPost__main-title", "vnn-title", "title-bold")
@@ -171,7 +204,9 @@ class WebConfig:
     # emit relative hrefs (vnn absolutizes downstream; bdt/tct relative-only
     # families DROP absolute hrefs; dcs/vdl prepend base unconditionally so
     # absolute hrefs would double the scheme — all four REQUIRE relative)
-    relative_link_profiles: tuple[str, ...] = ("vnn", "bdt", "dcs", "tct", "vdl")
+    # (vtc joins: vtcnews.py:241 prepends its base to every heading href)
+    relative_link_profiles: tuple[str, ...] = ("vnn", "bdt", "dcs", "tct", "vdl",
+                                               "vtc")
     # emit a per-link hash-gated mix of relative and absolute hrefs — these
     # families carry conditional absolutization (href if startswith http
     # else base+href: vneconomy.py:208, kinhtedouong.py:236-238), so both
@@ -239,6 +274,21 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  max_depth=s(2), crawl_delay_s=1.5),
         HostSpec("skc1.example.vn", "skc", n_types=s(2), links_per_page=4,
                  max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("bvl1.example.vn", "bvl", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("tcd1.example.vn", "tcd", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=0.5),
+        HostSpec("tta1.example.vn", "tta", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("bdu1.example.vn", "bdu", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), page_cap=2, crawl_delay_s=1.0),
+        HostSpec("pnm1.example.vn", "pnm", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("vtc1.example.vn", "vtc", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0,
+                 robots_disallow=("/video",)),
+        HostSpec("cgl1.example.vn", "cgl", n_types=s(2), links_per_page=8,
+                 max_depth=1, one_shot=True, crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
 
@@ -320,6 +370,10 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         return f"https://{host}/hashtag/{slug}/page-{page}"
     if kind == "qpage":
         return f"https://{host}/{slug}/?page={page}"
+    if kind == "qmark-page":
+        return f"https://{host}/{slug}?page={page}"
+    if kind == "trang-html":
+        return f"https://{host}/{slug}/trang-{page}.html"
     raise ValueError(kind)
 
 
@@ -511,6 +565,67 @@ def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> s
             f'<a class="link-title" href="{u}">bài {i}</a>' for i, u in enumerate(links)
         )
         body = f'<div class="list-new-cate">{items}<a href="/rss">RSS</a></div>'
+    elif fam == "ctrangc3":
+        # baovephapluat.py:227-234: div.ctrangc3, ALL anchors; anchors
+        # outside the container are ignored
+        items = "".join(f'<a href="{u}">bài {i}</a>' for i, u in enumerate(links))
+        body = f'<div class="ctrangc3">{items}</div><a href="/gioi-thieu">về chúng tôi</a>'
+    elif fam == "thumb-class":
+        # tapchidientu.py:205-212: a.thumb300x170 anywhere; the class-less
+        # anchor is skipped
+        items = "".join(
+            f'<a class="thumb300x170" href="{u}">bài {i}</a>'
+            for i, u in enumerate(links)
+        )
+        body = f'{items}<a href="/video/clip-moi">video</a>'
+    elif fam == "two-phase":
+        # tapchitoaan.py:200-216: post-entry-2 first-a's THEN col-lg-8
+        # first-a's — the last link renders in the header container, so
+        # document order and extraction order DIFFER by design
+        head, tail = links[:-1], links[-1:]
+        items = ['<div class="d-md-flex post-entry-2 small-img"><span>qc</span></div>']
+        items += [
+            f'<div class="d-md-flex post-entry-2 small-img">'
+            f'<a href="{u}">bài {i}</a><a href="#share">chia sẻ</a></div>'
+            for i, u in enumerate(head)
+        ]
+        header = "".join(
+            f'<div class="col-lg-8"><a href="{u}">tiêu điểm</a></div>' for u in tail
+        )
+        # header precedes the entry list in the DOCUMENT, but the parser
+        # appends its links AFTER the entries (two-phase extraction)
+        body = header + "".join(items)
+    elif fam == "ul-li-first-a":
+        # baodautu.py:194-202: ul.list_news_home li > first a each; the
+        # anchorless li contributes nothing
+        items = ["<li><span>quảng cáo</span></li>"]
+        items += [
+            f'<li><a href="{u}">bài {i}</a><a href="#cmt">góp ý</a></li>'
+            for i, u in enumerate(links)
+        ]
+        body = f'<ul class="list_news_home">{"".join(items)}</ul>'
+    elif fam == "news2item":
+        # phunumoi.py:189-198: news2 section div, div.news2Item > first a;
+        # the itemless promo div contributes nothing
+        items = ['<div class="news2Item"><span>quảng cáo</span></div>']
+        items += [
+            f'<div class="news2Item"><a href="{u}">bài {i}</a>'
+            f'<a href="#save">lưu</a></div>'
+            for i, u in enumerate(links)
+        ]
+        body = (
+            f'<div class="col-xs-12 col-sm-8 col-md-8 news2">{"".join(items)}'
+            "<!--news2-end--></div>"
+        )
+    elif fam == "bgrid-title":
+        # congly.py:213-233: ul.onecms__loading, h3.b-grid__title anchors;
+        # off-class h3 skipped (one-shot marker appended below)
+        items = [
+            f'<li><h3 class="b-grid__title"><a href="{u}">bài {i}</a></h3></li>'
+            for i, u in enumerate(links)
+        ]
+        items.append('<li><h3 class="other-title"><a href="/tag/phap-luat">tag</a></h3></li>')
+        body = f'<ul class="onecms__loading">{"".join(items)}</ul>'
     else:
         raise ValueError(fam)
     marker = "<!--one-shot-->" if spec.one_shot else ""
@@ -600,7 +715,8 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     spec = cfg.spec(host)
     f = article_fields(cfg, host, url)
     p = spec.profile
-    if p in ("dcs", "vne", "ktd", "tct", "vdl", "skc"):
+    if p in ("dcs", "vne", "ktd", "tct", "vdl", "skc",
+             "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl"):
         return _render_article_v2(cfg, host, url, f, spec)
     parts = ["<html><head>"]
     parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
@@ -910,6 +1026,161 @@ def _render_article_v2(cfg: WebConfig, host: str, url: str, f: dict,
             parts.append(f'<div class="author-detail">{f["author"]}</div>')
         parts.append("<!--detail-end--></div>")
 
+    elif p == "bvl":
+        # split-container markup (baovephapluat.py:139-168): text in
+        # div.noidung, images in div.post-content with the own-domain
+        # filter — an off-domain CDN decoy must be dropped
+        if f["title"] is not None:
+            parts.append(f'<h1 class="post-title">{f["title"]}</h1>')
+        parts.append(f'<div class="lbPublishedDate">{f["date_raw"]}</div>')
+        parts.append(f'<div class="post-summary"><h2>{f["description"]}</h2></div>')
+        parts.append('<div class="noidung">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+        parts.append("</div>")
+        parts.append('<div class="post-content">')
+        for _pos, src in f["images"]:
+            parts.append(f'<img src="{src}"/>')
+        if h % 2 == 0:
+            parts.append('<img src="https://cdn.external.example/ads/banner.jpg"/>')
+        parts.append("</div>")
+        if h % 4 != 0:
+            parts.append(f'<div class="tacgia">{f["author"]}</div>')
+
+    elif p == "tcd":
+        # list-content markup (tapchidientu.py:121-146)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="detail-title">{f["title"]}</h1>')
+        parts.append(
+            f'<div class="detail-intro"><p class="caption">{f["description"]}</p></div>'
+        )
+        parts.append(f'<div class="datetimeup">{f["date_raw"]}</div>')
+        parts.append('<div id="main-detail">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        # right-aligned decoy WITHOUT strong after the author line: the
+        # reversed scan must skip it and land on the strong one
+        parts.append(f'<p style="text-align: right;"><strong>{f["author"]}</strong></p>')
+        parts.append('<p style="text-align: right;">Nguồn: VietQ</p>')
+        parts.append("</div>")
+
+    elif p == "tta":
+        # first-h1 markup (tapchitoaan.py:118-142): a second h1 after the
+        # real one pins select_one("h1") = first-wins
+        if f["title"] is not None:
+            parts.append(f"<h1>{f['title']}</h1>")
+            parts.append("<h1>Chuyên mục Tòa án</h1>")
+        parts.append(f'<h5 class="short-desc">{f["description"]}</h5>')
+        parts.append(
+            f'<div class="post-meta"><span>{f["date_raw"]}</span>'
+            "<span>Tòa án nhân dân</span></div>"
+        )
+        parts.append(f'<span class="author">{f["author"]}</span>')
+        parts.append('<div class="post-entry">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+                if h % 3 == 0:
+                    # duplicate src — the keep-first dedup (:136) drops it
+                    parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+
+    elif p == "bdu":
+        # div-title markup (baodautu.py:122-136); post-time carries the
+        # ' - ' decorations strip(' -') shears off
+        if f["title"] is not None:
+            parts.append(f'<div class="title-detail">{f["title"]}</div>')
+        parts.append(f'<a class="author">{f["author"]}</a>')
+        parts.append(f'<span class="post-time"> - {f["date_raw"]} - </span>')
+        parts.append(f'<div class="sapo_detail">{f["description"]}</div>')
+        parts.append('<div id="content_detail_news">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+
+    elif p == "pnm":
+        # itemprop markup (phunumoi.py:115-130): 1-in-7 articles drop the
+        # author paragraph — the unguarded .get_text() crash-drops the
+        # whole article, title and all
+        if f["title"] is not None:
+            parts.append(f'<h1 class="articleTitle">{f["title"]}</h1>')
+        parts.append(f'<div class="articleShortDesc mt10">{f["description"]}</div>')
+        parts.append(f'<time class="articleTimePosted">{f["date_raw"]}</time>')
+        parts.append('<div itemprop="articleBody">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        if h % 2 == 0:
+            # srcless lazyload decoy ('src' in attrs check, :127)
+            parts.append('<img class="lazyload" data-note="no-src"/>')
+        parts.append("</div>")
+        if h % 7 != 0:
+            parts.append(f'<p class="author-news">{f["author"]}</p>')
+
+    elif p == "vtc":
+        # header-h1 + first-h2 markup (vtcnews.py:155-175)
+        parts.append('<header class="mb5">')
+        if f["title"] is not None:
+            parts.append(f"<h1>{f['title']}</h1>")
+        parts.append("</header>")
+        parts.append(f"<h2>{f['description']}</h2>")
+        parts.append(f'<span class="time-update">{f["date_raw"]}</span>')
+        parts.append('<div class="edittor-content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(
+                    f'<figure class="expNoEdit"><img data-src="{src}"/></figure>'
+                )
+            if i == 1 and h % 3 == 0:
+                # bare src img — the data-src figure selector skips it
+                parts.append(f'<img src="https://img.{host}/inline-ad.jpg"/>')
+        parts.append("</div>")
+        if h % 3 != 0:
+            parts.append(f'<div class="author-make"><span>{f["author"]}</span></div>')
+        # else: no author block -> '' (vtcnews.py:174-175)
+
+    elif p == "cgl":
+        # longform-header markup (congly.py:126-160)
+        if f["title"] is not None:
+            parts.append(
+                f'<h1 class="sc-longform-header-title block-sc-title">{f["title"]}</h1>'
+            )
+        parts.append(
+            f'<p class="sc-longform-header-sapo block-sc-sapo">{f["description"]}</p>'
+        )
+        parts.append(
+            f'<span class="sc-longform-header-date block-sc-publish-time">'
+            f'{f["date_raw"]}</span>'
+        )
+        if h % 4 != 0:
+            parts.append(
+                f'<span class="sc-longform-header-author block-sc-author">'
+                f'{f["author"]}</span>'
+            )
+        parts.append('<div class="entry entry-no-padding">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<figure><img src="{src}"/></figure>')
+        if h % 2 == 1:
+            parts.append(f'<img src="https://img.{host}/footer-decoy.jpg"/>')
+        parts.append("</div>")
+
     else:
         raise ValueError(p)
     parts.append("</body></html>")
@@ -989,6 +1260,12 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
         return int(m.group(1)), int(m.group(2))
     if kind == "qpage":
         m = re.search(r"-(\d+)/\?page=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "qmark-page":
+        m = re.search(r"-(\d+)\?page=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "trang-html":
+        m = re.search(r"-(\d+)/trang-(\d+)\.html$", path)
         return int(m.group(1)), int(m.group(2))
     raise ValueError(url)
 

@@ -633,3 +633,297 @@ def test_round4_pagination_roundtrip():
                 assert hs.parse_listing_url(web, host, u) == (t, p), u
     assert hs.listing_url(web, "tct1.example.vn", 0, 2).startswith(
         "https://tct1.example.vn/hashtag/")
+
+
+# --- round-4b profiles (bvl, tcd, tta, bdu) --------------------------------
+
+
+def test_bvl_split_containers_and_domain_filter():
+    """Content text from div.noidung; images from the SEPARATE
+    div.post-content and only own-domain srcs; description nested as
+    post-summary > h2 (baovephapluat.py:139-168)."""
+    html = (
+        '<html><body><h1 class="post-title">Tít BVL</h1>'
+        '<div class="lbPublishedDate">1/2/2023 10:00</div>'
+        '<div class="post-summary"><h2>Mô tả BVL</h2></div>'
+        '<div class="noidung"><p>Đoạn một.</p><p></p><p>Đoạn hai.</p></div>'
+        '<div class="post-content">'
+        '<img src="https://img.h.example.vn/media/1.jpg"/>'
+        '<img src="https://cdn.external.example/ads/banner.jpg"/>'
+        "</div>"
+        '<div class="tacgia">Kiểm Sát Viên</div></body></html>'
+    )
+    rec = parse_article(html, "bvl", "https://h.example.vn")
+    assert rec["description"] == "Mô tả BVL"
+    assert rec["content"] == "Đoạn một.\n\n\n\nĐoạn hai."  # empty p KEPT
+    # own-domain filter: the external CDN decoy is dropped (:158-163)
+    assert rec["contentImageUrls"] == ["https://img.h.example.vn/media/1.jpg"]
+    assert rec["author"] == "Kiểm Sát Viên"
+    no_author = html.replace('<div class="tacgia">Kiểm Sát Viên</div>', "")
+    assert parse_article(no_author, "bvl", "https://h.example.vn")["author"] is None
+
+
+def test_tcd_list_content_and_right_strong_author():
+    """Content is the reference's paragraph LIST (engine pins '\\n' for the
+    string column, the exact list rides in span_texts); author = last
+    right-aligned p WITH a strong, skipping the strongless decoy
+    (tapchidientu.py:121-146)."""
+    html = (
+        '<html><body><h1 class="detail-title">Tít TCD</h1>'
+        '<div class="detail-intro"><p class="caption">Mô tả TCD</p></div>'
+        '<div class="datetimeup">1/2/2023 10:00</div>'
+        '<div id="main-detail">'
+        "<p>Đoạn một.</p>"
+        '<img src="https://img/t1.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        '<p style="text-align: right;"><strong>PV VietQ</strong></p>'
+        '<p style="text-align: right;">Nguồn: VietQ</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "tcd", "https://h")
+    assert rec["author"] == "PV VietQ"  # reversed scan skips the strongless p
+    assert rec["span_texts"] == ["Đoạn một.", "Đoạn hai.", "PV VietQ", "Nguồn: VietQ"]
+    assert rec["content"] == "Đoạn một.\nĐoạn hai.\nPV VietQ\nNguồn: VietQ"
+    assert rec["contentImageUrls"] == ["https://img/t1.jpg"]
+    assert rec["description"] == "Mô tả TCD"
+
+
+def test_tta_first_h1_and_image_dedup():
+    """Title = FIRST h1 (select_one), content = space-joined fragments,
+    images deduped keep-first (tapchitoaan.py:118-142)."""
+    html = (
+        "<html><body><h1>Tít TTA</h1><h1>Chuyên mục Tòa án</h1>"
+        '<h5 class="short-desc">Mô tả TTA</h5>'
+        '<div class="post-meta"><span>1/2/2023 10:00</span><span>TAND</span></div>'
+        '<span class="author">Thẩm Phán A</span>'
+        '<div class="post-entry">'
+        "<p>Đoạn một.</p>"
+        '<img src="https://img/a.jpg"/>'
+        '<img src="https://img/a.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        '<img src="https://img/b.jpg"/>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "tta", "https://h")
+    assert rec["title"] == "Tít TTA"  # first h1 wins
+    assert rec["content"] == "Đoạn một. Đoạn hai."  # " " separator join
+    assert rec["contentImageUrls"] == ["https://img/a.jpg", "https://img/b.jpg"]
+    assert rec["author"] == "Thẩm Phán A"
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"
+
+
+def test_bdu_div_title_and_posttime_shear():
+    """Title lives in a DIV; post-time sheared with strip(' -'); unfiltered
+    '\\n\\n' join (baodautu.py:122-136)."""
+    html = (
+        '<html><body><div class="title-detail">Tít BDU</div>'
+        '<a class="author">Nhà Đầu Tư</a>'
+        '<span class="post-time"> - 1/2/2023 10:00 - </span>'
+        '<div class="sapo_detail">Mô tả BDU</div>'
+        '<div id="content_detail_news">'
+        "<p>Đoạn một.</p><p></p>"
+        '<img src="https://img/d1.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "bdu", "https://h")
+    assert rec["title"] == "Tít BDU"
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"  # ' - ' sheared both ends
+    assert rec["content"] == "Đoạn một.\n\n\n\nĐoạn hai."  # empty p KEPT
+    assert rec["author"] == "Nhà Đầu Tư"
+    assert rec["contentImageUrls"] == ["https://img/d1.jpg"]
+
+
+def test_round4b_listing_families():
+    """ctrangc3 / thumb-class / two-phase / ul-li-first-a container scoping
+    (baovephapluat.py:227-234, tapchidientu.py:205-212,
+    tapchitoaan.py:200-216, baodautu.py:194-202)."""
+    bvl = (
+        '<html><body><div class="ctrangc3">'
+        '<a href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="https://h/a/bai-viet-1000002.html">y</a>'
+        '</div><a href="/gioi-thieu">ngoài</a></body></html>'
+    )
+    assert parse_listing(bvl, "ctrangc3")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+    tcd = (
+        '<html><body><a class="thumb300x170" href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="/video">không class</a>'
+        '<a class="thumb300x170" href="https://h/a/bai-viet-1000002.html">y</a>'
+        "</body></html>"
+    )
+    assert parse_listing(tcd, "thumb-class")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+    # two-phase: the header link renders FIRST in the document but is
+    # appended AFTER the entry links; anchorless entry skipped
+    tta = (
+        '<html><body><div class="col-lg-8">'
+        '<a href="https://h/a/bai-viet-1000009.html">tiêu điểm</a></div>'
+        '<div class="d-md-flex post-entry-2 small-img"><span>qc</span></div>'
+        '<div class="d-md-flex post-entry-2 small-img">'
+        '<a href="https://h/a/bai-viet-1000001.html">x</a><a href="#share">s</a></div>'
+        "</body></html>"
+    )
+    assert parse_listing(tta, "two-phase")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000009.html"]
+    # empty FIRST set -> [] even though the header container has a link
+    tta_empty = tta.replace(
+        '<a href="https://h/a/bai-viet-1000001.html">x</a><a href="#share">s</a>',
+        "<span>trống</span>")
+    assert parse_listing(tta_empty, "two-phase")[0] == []
+
+    bdu = (
+        '<html><body><ul class="list_news_home">'
+        "<li><span>quảng cáo</span></li>"
+        '<li><a href="https://h/a/bai-viet-1000001.html">x</a><a href="#cmt">c</a></li>'
+        '<li><a href="https://h/a/bai-viet-1000002.html">y</a></li>'
+        "</ul></body></html>"
+    )
+    assert parse_listing(bdu, "ul-li-first-a")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+
+def test_round4b_pagination_roundtrip():
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    cases = {
+        "bvl1.example.vn": "/p/",
+        "tcd1.example.vn": "/p",
+        "tta1.example.vn": "?page=",
+        "bdu1.example.vn": "/p",
+    }
+    for host, marker in cases.items():
+        for t in (0, 1):
+            for p in (1, 2, 8):
+                u = hs.listing_url(web, host, t, p)
+                assert marker in u, (host, u)
+                assert hs.parse_listing_url(web, host, u) == (t, p), u
+
+
+# --- round-4c profiles (pnm, vtc, cgl) -------------------------------------
+
+
+def test_pnm_itemprop_body_and_crash_drop():
+    """Content div selected by ITEMPROP; srcless imgs skipped; ANY missing
+    field (incl. author) crash-drops the whole article (phunumoi.py:115-130)."""
+    html = (
+        '<html><body><h1 class="articleTitle">Tít PNM</h1>'
+        '<div class="articleShortDesc mt10">Mô tả PNM</div>'
+        '<time class="articleTimePosted">1/2/2023 10:00</time>'
+        '<div itemprop="articleBody">'
+        "<p>Đoạn một.</p><p></p>"
+        '<img src="https://img/p1.jpg"/>'
+        '<img class="lazyload" data-note="no-src"/>'
+        "<p>Đoạn hai.</p>"
+        "</div>"
+        '<p class="author-news">PV Phụ Nữ</p></body></html>'
+    )
+    rec = parse_article(html, "pnm", "https://h")
+    assert rec["content"] == "Đoạn một.\n\nĐoạn hai."  # "\n" join, empty KEPT
+    assert rec["contentImageUrls"] == ["https://img/p1.jpg"]  # srcless skipped
+    assert rec["author"] == "PV Phụ Nữ"
+    # missing author -> unguarded get_text() crash -> whole article dropped
+    no_author = html.replace('<p class="author-news">PV Phụ Nữ</p>', "")
+    assert parse_article(no_author, "pnm", "https://h") is None
+    no_desc = html.replace('<div class="articleShortDesc mt10">Mô tả PNM</div>', "")
+    assert parse_article(no_desc, "pnm", "https://h") is None
+
+
+def test_vtc_header_h1_first_h2_and_datasrc_figures():
+    """Title = h1 inside header.mb5; description = FIRST h2 ('' default);
+    images only from figure.expNoEdit img[data-src]; author '' default
+    (vtcnews.py:155-175)."""
+    html = (
+        '<html><body><header class="mb5"><h1>Tít VTC</h1></header>'
+        "<h2>Mô tả VTC</h2>"
+        '<span class="time-update">1/2/2023 10:00</span>'
+        '<div class="edittor-content">'
+        "<p>Đoạn một.</p>"
+        '<figure class="expNoEdit"><img data-src="https://img/v1.jpg"/></figure>'
+        '<img src="https://img/inline-ad.jpg"/>'
+        "<p>Đoạn hai.</p><p> </p>"
+        "</div>"
+        '<div class="author-make"><span>PV VTC</span></div></body></html>'
+    )
+    rec = parse_article(html, "vtc", "https://h")
+    assert rec["content"] == "Đoạn một.\nĐoạn hai."  # stripped+filtered "\n"
+    assert rec["contentImageUrls"] == ["https://img/v1.jpg"]  # bare src skipped
+    assert rec["author"] == "PV VTC"
+    no_author = html.replace(
+        '<div class="author-make"><span>PV VTC</span></div>', "")
+    assert parse_article(no_author, "vtc", "https://h")["author"] == ""
+    # h1 outside the header does not count
+    headerless = html.replace("<header class=\"mb5\"><h1>Tít VTC</h1></header>",
+                              "<h1>Tít VTC</h1>")
+    assert parse_article(headerless, "vtc", "https://h") is None
+
+
+def test_cgl_longform_header_selectors():
+    """sc-longform-header-* selectors; unfiltered '\\n' join; figure-only
+    images; author else None (congly.py:126-160)."""
+    html = (
+        '<html><body>'
+        '<h1 class="sc-longform-header-title block-sc-title">Tít CGL</h1>'
+        '<p class="sc-longform-header-sapo block-sc-sapo">Mô tả CGL</p>'
+        '<span class="sc-longform-header-date block-sc-publish-time">1/2/2023 10:00</span>'
+        '<span class="sc-longform-header-author block-sc-author">PV Công Lý</span>'
+        '<div class="entry entry-no-padding">'
+        "<p>Đoạn một.</p><p></p>"
+        '<figure><img src="https://img/c1.jpg"/></figure>'
+        "<p>Đoạn hai.</p>"
+        '<img src="https://img/footer-decoy.jpg"/>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "cgl", "https://h")
+    assert rec["content"] == "Đoạn một.\n\nĐoạn hai."  # empty p KEPT, "\n" join
+    assert rec["contentImageUrls"] == ["https://img/c1.jpg"]
+    assert rec["author"] == "PV Công Lý"
+    no_author = html.replace(
+        '<span class="sc-longform-header-author block-sc-author">PV Công Lý</span>', "")
+    assert parse_article(no_author, "cgl", "https://h")["author"] is None
+
+
+def test_round4c_listing_families():
+    """news2item / bgrid-title scoping (phunumoi.py:189-198,
+    congly.py:213-233)."""
+    pnm = (
+        '<html><body><div class="col-xs-12 col-sm-8 col-md-8 news2">'
+        '<div class="news2Item"><span>quảng cáo</span></div>'
+        '<div class="news2Item"><a href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="#save">lưu</a></div>'
+        '<div class="news2Item"><a href="https://h/a/bai-viet-1000002.html">y</a></div>'
+        "<!--news2-end--></div></body></html>"
+    )
+    assert parse_listing(pnm, "news2item")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+    cgl = (
+        '<html><body><!--one-shot--><ul class="onecms__loading">'
+        '<li><h3 class="b-grid__title"><a href="/a/bai-viet-1000001.html">x</a></h3></li>'
+        '<li><h3 class="other-title"><a href="/tag/phap-luat">tag</a></h3></li>'
+        '<li><h3 class="b-grid__title"><a href="/a/bai-viet-1000002.html">y</a></h3></li>'
+        "</ul></body></html>"
+    )
+    links, term = parse_listing(cgl, "bgrid-title")
+    assert links == ["/a/bai-viet-1000001.html", "/a/bai-viet-1000002.html"]
+    assert term  # the selenium set-return is the terminal signal
+
+
+def test_round4c_pagination_roundtrip():
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    for t in (0, 1):
+        for p in (1, 2, 6):
+            u = hs.listing_url(web, "vtc1.example.vn", t, p)
+            assert u.endswith(f"/trang-{p}.html"), u
+            assert not hs.is_article_url(u)  # \d{6,}.html must NOT match
+            assert hs.parse_listing_url(web, "vtc1.example.vn", u) == (t, p)
+        u = hs.listing_url(web, "pnm1.example.vn", t, 3)
+        assert u.endswith("/p3")
+    # cgl is one-shot: bare slug URL
+    u = hs.listing_url(web, "cgl1.example.vn", 1, 1)
+    assert "?" not in u and "/p" not in u.rsplit("/", 1)[-1]

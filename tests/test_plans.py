@@ -177,3 +177,32 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     df = q_decontaminate(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+
+
+def test_seed_urls_equal_simulator_for_every_pagination_kind(spark, tmp_path_factory):
+    """listing_url_expr (executor-side synthesis) must be byte-identical to
+    hostsim.listing_url for EVERY host/pagination kind in the default web,
+    with no NULL urls (r04: seven kinds silently produced NULL seed urls
+    while fetch re-derived them from (host,type,page))."""
+    from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web(scale=0.5)
+    root = str(tmp_path_factory.mktemp("seed_eq"))
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3))
+    rows = wc.seed_frontier().select("host", "type_id", "page_no", "url").collect()
+    assert rows, "empty seed"
+    kinds_seen = set()
+    for r in rows:
+        assert r["url"] is not None, r
+        expect = hs.listing_url(web, r["host"], r["type_id"], r["page_no"])
+        assert r["url"] == expect, (r["host"], r["type_id"], r["page_no"],
+                                    r["url"], expect)
+        spec = web.spec(r["host"])
+        kinds_seen.add("one-shot" if spec.one_shot else hs.PAGINATION[spec.profile])
+    # the default web must exercise every registered pagination kind at
+    # least once (guards future kinds against the silent-NULL regression)
+    all_kinds = {"one-shot"} | {
+        "one-shot" if s.one_shot else hs.PAGINATION[s.profile] for s in web.hosts
+    }
+    assert kinds_seen == all_kinds
