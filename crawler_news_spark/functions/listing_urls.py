@@ -55,6 +55,21 @@ def listing_url_expr(host: Column, slug: Column, pag_kind: Column,
         .when(pag_kind == "qmark-page", F.concat(base, F.lit("?page="), pg))
         .when(pag_kind == "trang-html",
               F.concat(base, F.lit("/trang-"), pg, F.lit(".html")))
+        .when(pag_kind == "brsr-cond",
+              F.concat(base, F.lit("&s_cond=&BRSR="), pg))
+        .when(pag_kind == "trang-plain", F.concat(base, F.lit("/trang-"), pg))
+        .when(
+            pag_kind == "cate-page",
+            F.concat(F.lit("https://"), host, F.lit("/cate/"), slug,
+                     F.lit("/page/"), pg),
+        )
+        .when(pag_kind == "html-qpage",
+              F.concat(base, F.lit(".html?page="), pg))
+        .when(
+            pag_kind == "danhmuc-qpage",
+            F.concat(F.lit("https://"), host, F.lit("/danh-muc/"), slug,
+                     F.lit("?page="), pg),
+        )
         .otherwise(
             F.raise_error(F.concat(F.lit("unknown pagination kind: "), pag_kind))
         )

@@ -141,7 +141,9 @@ def parse_article(html: str, profile: str, base_url: str) -> dict | None:
     comments, contentImageUrls, spans.
     """
     if profile in ("dcs", "vne", "ktd", "tct", "vdl", "skc",
-                   "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl"):
+                   "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl",
+                   "ctg", "btv", "qlt", "tdn",
+                   "thc", "tgd", "bxd", "skd", "bvh", "tnm", "kth", "bhq"):
         return _parse_article_v2(html, profile, base_url)
     # bdt reads the title ATTRIBUTE of h1.news-title (baodantoc.py:141);
     # cnd reads h1.postTitle (congnghevadoisong.py:116)
@@ -538,6 +540,152 @@ _RE_WALK_CGL = re.compile(
     re.S,
 )
 
+_RE_TITLE_CTG = re.compile(r'<h1 class="article-detail-title f5">(.*?)</h1>')
+_RE_DESC_CTG = re.compile(r'<div class="article-detail-desc">(.*?)</div>')
+_RE_FORMAT_TIME = re.compile(r'<span class="format_time">(.*?)</span>')
+_RE_BODY_CTG = re.compile(
+    r'<div id="articleBody" itemprop="articleBody">(.*?)</div>', re.S
+)
+# p AND strong are BOTH find_all'd (congthuong.py:141-143): a strong nested
+# in a p contributes its text TWICE — once inside the p, once on its own
+_RE_WALK_CTG = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r"|<strong>(?P<strong>.*?)</strong>"
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+_RE_AUTHOR_CTG = re.compile(r'<div class="article-detail-author clearfix">(.*?)</div>')
+
+_RE_TITLE_BTV = re.compile(r'<h1 class="post-title">(.*?)</h1>')
+_RE_AUTHOR_H2_BTV = re.compile(r'<h2 class="author-title">(.*?)</h2>')
+_RE_AUTHOR_DIV_BTV = re.compile(r'<div class="post-author">(.*?)</div>')
+_RE_DESC_BTV = re.compile(r'<div class="post-desc">(.*?)</div>')
+_RE_TIMEBOX_BTV = re.compile(
+    r'<span class="article-publish-time">(.*?</span>)</span>'
+)
+_RE_FORMAT_DATE = re.compile(r'<span class="format_date">(.*?)</span>')
+_RE_BODY_BTV = re.compile(r'<div class="post-content">(.*?)</div>', re.S)
+_RE_WALK_PI = re.compile(r"<p>(?P<para>.*?)</p>|<img src=\"(?P<img>.*?)\"/>", re.S)
+
+_RE_TITLE_QLT = re.compile(r'<h1 class="article-detail-title f0">(.*?)</h1>')
+_RE_DESC_QLT = re.compile(r'<div class="article-detail-desc f0">(.*?)</div>')
+_RE_BODY_QLT = re.compile(
+    r'<div class="__MASTERCMS_CONTENT fw lt mb clearfix">(.*?)</div>', re.S
+)
+_RE_WALK_QLT = re.compile(
+    r'<p(?: style="text-align: right;")?>(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+_RE_PUBLISHER_QLT = re.compile(r'<span class="article-publisher lt">(.*?)</span>')
+_RE_RIGHT_P_QLT = re.compile(r'<p style="text-align: right;">(.*?)</p>', re.S)
+
+_RE_ARTICLE_H1_TDN = re.compile(r'<article class="article">.*?<h1>(.*?)</h1>', re.S)
+_RE_TIME_TDN = re.compile(r'<span class="bx-time lt">(.*?)</span>')
+_RE_BODY_TDN = re.compile(r'<div id="noidung">(.*?)</div>', re.S)
+_RE_H2_IN_BODY = re.compile(r"<h2>(.*?)</h2>", re.S)
+_RE_CITE_TDN = re.compile(
+    r'<blockquote class="blockquote-reverse"><cite>(.*?)</cite></blockquote>'
+)
+_RE_WS = re.compile(r"\s+")
+
+_RE_TITLE_THC = re.compile(r'<h1 class="page-title mb-3"><a[^>]*>(.*?)</a></h1>')
+_RE_DATE_THC = re.compile(r'<span class="item">(.*?)</span>')
+_RE_DESC_THC = re.compile(r'<div class="article-sapo strong">(.*?)</div>')
+_RE_BODY_THC = re.compile(
+    r'<div class="article-body" id="content_detail">(.*?)</div>', re.S
+)
+# ONLY justify-styled paragraphs feed the content (thuonghieucongluan.py:124)
+_RE_WALK_THC = re.compile(
+    r'<p style="text-align: justify;">(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>'
+    r'|<p(?: style="[^"]*")?>.*?</p>',
+    re.S,
+)
+_RE_RIGHT_P_THC = re.compile(r'<p style="text-align: right;">(.*?)</p>', re.S)
+
+_RE_TITLE_TGD = re.compile(r'<h1 class="page-title">(.*?)</h1>')
+_RE_DESC_TGD = re.compile(r'<div class="news-sapo strong">(.*?)</div>')
+_RE_HEADING_TGD = re.compile(r'<div class="news-heading">(.*?)</div>', re.S)
+_RE_DATE_LI_TGD = re.compile(r'<li class="list-inline-item">(.*?)</li>')
+_RE_BODY_TGD = re.compile(
+    r'<div class="news-content detail" id="news-detail">(.*?)</div>', re.S
+)
+_RE_WALK_TGD = re.compile(
+    r'<p(?: align="right")?>(?P<para>.*?)</p>|<img src="(?P<img>.*?)"/>', re.S
+)
+_RE_ALIGN_RIGHT_TGD = re.compile(r'<p align="right">(.*?)</p>', re.S)
+
+_RE_TITLE_BXD = re.compile(r'<h1 class="title detail-title">(.*?)</h1>')
+_RE_DESC_BXD = re.compile(r'<h3 class="text detail-sapo">(.*?)</h3>')
+_RE_DATE_BXD = re.compile(r'<span data-role="publishdate">(.*?)</span>')
+_RE_BODY_BXD = re.compile(r'<div class="detail-cmain">(.*?)</div>', re.S)
+_RE_AUTHOR_BXD = re.compile(
+    r'<div class="detail-author-flex">.*?<a class="name"[^>]*>(.*?)</a>', re.S
+)
+
+_RE_TITLE_SKD = re.compile(
+    r'<h1 class="detail-title" data-role="title">(.*?)</h1>'
+)
+_RE_DESC_SKD = re.compile(r'<h2 class="detail-sapo" data-role="sapo">(.*?)</h2>')
+_RE_DATE_SKD = re.compile(
+    r'<span class="publish-date" data-role="publishdate">(.*?)</span>'
+)
+_RE_BODY_SKD = re.compile(
+    r'<div class="detail-content afcbc-body" data-role="content">(.*?)</div>', re.S
+)
+_RE_WALK_SKD = re.compile(
+    r"<p>(?P<para>.*?)</p>"
+    r'|<img data-original="(?P<orig>.*?)"/>'
+    r'|<img src="(?P<src>.*?)"/>',
+    re.S,
+)
+_RE_AUTHOR_SKD = re.compile(
+    r'<div class="detail-author" data-role="author">(.*?)</div>'
+)
+
+_RE_TITLE_BVH = re.compile(r'<h1 class="detail__title">(.*?)</h1>')
+_RE_DESC_BVH = re.compile(r'<h2 class="detail__summary">(.*?)</h2>')
+_RE_BODY_BVH = re.compile(r'<div class="detail__content">(.*?)</div>', re.S)
+_RE_TIME_ANY = re.compile(r"<time[^>]*>(.*?)</time>")
+_RE_AUTHOR_BVH = re.compile(r'<span class="detail__author">(.*?)</span>')
+
+_RE_TITLE_TNM = re.compile(r'<h2 class="headingDetail">(.*?)</h2>')
+_RE_DESC_TNM = re.compile(r'<p class="descDetail">(.*?)</p>', re.S)
+_RE_SPAN_TAG = re.compile(r"<span[^>]*>.*?</span>", re.S)
+_RE_DATE_TNM = re.compile(r'<span class="time icon-time">(.*?)</span>')
+_RE_BODY_TNM = re.compile(r'<div class="html-content">(.*?)</div>', re.S)
+_RE_WALK_TNM = re.compile(
+    r'<p(?: style="(?P<style>[^"]*)")?>(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+
+_RE_TITLE_KTH = re.compile(r'<h1 class="cms-title">(.*?)</h1>')
+_RE_DESC_KTH = re.compile(r'<h2 class="sapo cms-desc">(.*?)</h2>')
+_RE_BODY_KTH = re.compile(r'<div id="abody">(.*?)<!--abody-end-->', re.S)
+# p OR div blocks whose style contains text-align: justify (kienthuc.py:175)
+_RE_WALK_KTH = re.compile(
+    r'<(?P<tag>p|div)(?: style="(?P<style>[^"]*)")?>(?P<para>.*?)</(?P=tag)>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+_RE_AUTHOR_NAME_KTH = re.compile(r'<span class="name">(.*?)</span>')
+
+_RE_TITLE_BHQ = re.compile(r'<h1 class="title-news-detail-left">(.*?)</h1>')
+_RE_QUE_STRONG_BHQ = re.compile(
+    r'<div class="que_news"><p><strong>(.*?)</strong></p></div>'
+)
+_RE_BREADCRUMB_BHQ = re.compile(r'<ol class="breadcrumb">(.*?)</ol>', re.S)
+_RE_BC_A = re.compile(r"<a[^>]*>(.*?)</a>")
+_RE_BC_DATE = re.compile(r"\d{2}/\d{2}/\d{4}\s+\d{2}:\d{2}:\d{2}")
+_RE_BODY_BHQ = re.compile(r'<div class="content_news">(.*?)</div>', re.S)
+_RE_WALK_BHQ = re.compile(
+    r'<p(?: style="(?P<style>[^"]*)")?>(?P<para>.*?)</p>'
+    r'|<img src="(?P<img>.*?)"/>',
+    re.S,
+)
+
 
 def _walk2(body: str, walk_re: re.Pattern) -> list[tuple[str, str]]:
     """In-order (kind, value) walk for the v2 profiles; decoy alternatives
@@ -888,6 +1036,365 @@ def _parse_article_v2(html: str, profile: str, base_url: str) -> dict | None:
                     "\n".join(texts), date_raw.strip() if date_raw else None,
                     author.strip() if author else None, images, texts)
 
+    if profile == "ctg":
+        # p+strong double-walk family (congthuong.py:128-149): find_all
+        # (["p","strong"]) returns p elements AND every strong — a strong
+        # NESTED in a p contributes its text twice (inside the p's text,
+        # then standalone), in document order; "\n" join, empties filtered
+        title = _first(_RE_TITLE_CTG, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_CTG, html)
+        date_raw = _first(_RE_FORMAT_TIME, html)
+        m = _RE_BODY_CTG.search(html)
+        texts: list[str] = []
+        images: list[str] = []
+        if m:
+            for mm in _RE_WALK_CTG.finditer(m.group(1)):
+                g = mm.groupdict()
+                if g["para"] is not None:
+                    texts.append(_STRIP_TAGS.sub("", g["para"]).strip())
+                    # nested strongs re-emit AFTER their parent p
+                    for sm in _RE_STRONG.finditer(g["para"]):
+                        texts.append(sm.group(1).strip())
+                elif g["strong"] is not None:
+                    texts.append(g["strong"].strip())
+                elif g["img"] is not None:
+                    images.append(g["img"])
+        texts = [t for t in texts if t]
+        author = _first(_RE_AUTHOR_CTG, html)
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "btv":
+        # two-part-date family (baotaichinhvietnam.py:121-145): the publish
+        # date is ASSEMBLED as "{format_time} {format_date}" from two spans
+        # nested in span.article-publish-time; author h2.author-title with
+        # div.post-author fallback; "\n\n" join with empties KEPT
+        title = _first(_RE_TITLE_BTV, html)
+        if title is None:
+            return None
+        author = _first(_RE_AUTHOR_H2_BTV, html)
+        author = author.strip() if author and author.strip() else None
+        if author is None:
+            fb = _first(_RE_AUTHOR_DIV_BTV, html)
+            author = fb.strip() if fb else None
+        desc = _first(_RE_DESC_BTV, html)
+        box = _first(_RE_TIMEBOX_BTV, html)
+        date_raw = None
+        if box is not None:
+            tp = _first(_RE_FORMAT_TIME, box)
+            dp = _first(_RE_FORMAT_DATE, box)
+            if tp is not None and dp is not None:
+                date_raw = f"{tp.strip()} {dp.strip()}"
+        m = _RE_BODY_BTV.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_PI) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n\n".join(texts), date_raw, author, images, texts)
+
+    if profile == "qlt":
+        # MASTERCMS family (quanlythitruong.py:118-146): unguarded
+        # .get_text() on title/desc/date — any missing crash-drops the
+        # article; author = span.article-publisher else the LAST nonempty
+        # right-aligned p of the content; "\n" join, empties filtered
+        title = _first(_RE_TITLE_QLT, html)
+        desc = _first(_RE_DESC_QLT, html)
+        date_raw = _first(_RE_FORMAT_TIME, html)
+        if title is None or desc is None or date_raw is None:
+            return None  # AttributeError -> broad except -> drop
+        m = _RE_BODY_QLT.search(html)
+        body = m.group(1) if m else ""
+        walk = _walk2(body, _RE_WALK_QLT)
+        paras = [_STRIP_TAGS.sub("", v).strip() for k, v in walk if k == "text"]
+        paras = [p for p in paras if p]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_PUBLISHER_QLT, html)
+        if author is not None:
+            author = author.strip()
+        else:
+            for p in reversed(_RE_RIGHT_P_QLT.findall(body)):
+                text = _STRIP_TAGS.sub("", p).strip()
+                if text:
+                    author = text
+                    break
+        return _rec(title.strip(), desc.strip(), "\n".join(paras),
+                    date_raw.strip(), author, images, paras)
+
+    if profile == "tdn":
+        # noidung-h2 family (taichinhdoanhnghiep.py:120-139): the
+        # description is the content div's FIRST h2, whitespace-normalized
+        # with re.sub(r'\s+',' ') — and the lookup is UNGUARDED, so a
+        # missing h2 crash-drops the article; so does a missing
+        # blockquote.blockquote-reverse (the author cite chain);
+        # "\n\n" join with empties KEPT
+        m = _RE_ARTICLE_H1_TDN.search(html)
+        title = m.group(1) if m else None
+        if title is None:
+            return None
+        date_raw = _first(_RE_TIME_TDN, html)
+        bm = _RE_BODY_TDN.search(html)
+        body = bm.group(1) if bm else ""
+        h2 = _first(_RE_H2_IN_BODY, body)
+        if h2 is None:
+            return None  # find("h2").get_text() crash-drop
+        desc = _RE_WS.sub(" ", h2).strip()
+        cite = _first(_RE_CITE_TDN, html)
+        if cite is None:
+            return None  # find('blockquote').find('cite') crash-drop
+        walk = _walk2(body, _RE_WALK_PI)
+        texts = [v.strip() for k, v in walk if k == "text"]  # empties KEPT
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc, "\n\n".join(texts),
+                    date_raw.strip() if date_raw else None,
+                    cite.strip(), images, texts)
+
+    if profile == "thc":
+        # justify-filtered family (thuonghieucongluan.py:117-133): title is
+        # the <a> NESTED in h1.page-title (unguarded -> crash-drop); the
+        # date span carries a 'bi-clock' icon token that is .replace()'d
+        # away; ONLY p[style=text-align: justify] feed the content
+        # ("\n\n", empties KEPT); author = right-p with a global
+        # "Theo "-replace
+        title = _first(_RE_TITLE_THC, html)
+        date_raw = _first(_RE_DATE_THC, html)
+        desc = _first(_RE_DESC_THC, html)
+        if title is None or date_raw is None or desc is None:
+            return None  # unguarded select_one chain
+        date_raw = date_raw.replace("bi-clock", "").strip()
+        m = _RE_BODY_THC.search(html)
+        body = m.group(1) if m else ""
+        texts: list[str] = []
+        images: list[str] = []
+        for mm in _RE_WALK_THC.finditer(body):
+            g = mm.groupdict()
+            if g["para"] is not None:
+                texts.append(g["para"].strip())
+            elif g["img"] is not None:
+                images.append(g["img"])
+        author = None
+        am = _RE_RIGHT_P_THC.search(body)
+        if am:
+            author = _STRIP_TAGS.sub("", am.group(1)).strip().replace("Theo ", "")
+        return _rec(title.strip(), desc.strip(), "\n\n".join(texts),
+                    date_raw, author, images, texts)
+
+    if profile == "tgd":
+        # heading-ul-date family (tapchigiaoduc.py:114-133): the date rides
+        # in the news-heading's first li.list-inline-item (unguarded
+        # container chain); content = whole-div get_text("\n") = stripped
+        # nonempty fragments "\n"-joined; author p[align=right] — the HTML
+        # ALIGN attribute, not a style
+        title = _first(_RE_TITLE_TGD, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_TGD, html)
+        heading = _first(_RE_HEADING_TGD, html)
+        if heading is None:
+            return None  # unguarded news_heading.find chain
+        date_raw = _first(_RE_DATE_LI_TGD, heading)
+        m = _RE_BODY_TGD.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_TGD) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]
+        texts = [t for t in texts if t]
+        images = [v for k, v in walk if k == "image"]
+        author = None
+        if m:
+            am = _RE_ALIGN_RIGHT_TGD.search(m.group(1))
+            if am:
+                author = _STRIP_TAGS.sub("", am.group(1)).strip()
+        return _rec(title.strip(), desc.strip() if desc else "",
+                    "\n".join(texts), date_raw.strip() if date_raw else None,
+                    author, images, texts)
+
+    if profile == "bxd":
+        # data-role family behind a selenium one-shot listing
+        # (baoxaydung.py:128-152): publishdate rstrip('|'); author a.name
+        # rstrip('-'); content = whole detail-cmain get_text("\n")
+        title = _first(_RE_TITLE_BXD, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_BXD, html)
+        date_raw = _first(_RE_DATE_BXD, html)
+        if date_raw is not None:
+            date_raw = date_raw.strip().rstrip("|").strip()
+        m = _RE_BODY_BXD.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_PI) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]
+        texts = [t for t in texts if t]
+        images = [v for k, v in walk if k == "image"]
+        author = _first(_RE_AUTHOR_BXD, html)
+        if author is not None:
+            author = author.strip().rstrip("-").strip()
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw, author, images, texts)
+
+    if profile == "skd":
+        # data-role + data-original family (suckhoedoisong.py:129-160):
+        # every selector carries a data-role attribute; images prefer
+        # data-original over src and keep http-prefixed only; "\n" join
+        title = _first(_RE_TITLE_SKD, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_SKD, html)
+        date_raw = _first(_RE_DATE_SKD, html)
+        if date_raw is not None:
+            date_raw = date_raw.strip().rstrip("|").strip()
+        m = _RE_BODY_SKD.search(html)
+        texts = []
+        images = []
+        if m:
+            for mm in _RE_WALK_SKD.finditer(m.group(1)):
+                g = mm.groupdict()
+                if g["para"] is not None:
+                    t = g["para"].strip()
+                    if t:
+                        texts.append(t)
+                else:
+                    src = g["orig"] if g["orig"] is not None else g["src"]
+                    if src and src.startswith("http"):
+                        images.append(src)
+        author = _first(_RE_AUTHOR_SKD, html)
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "\n".join(texts), date_raw,
+                    author.strip() if author else None, images, texts)
+
+    if profile == "bvh":
+        # no-separator family (baovanhoa.py:184-199): content is the
+        # detail__content's .text PROPERTY — get_text() with NO separator,
+        # so adjacent paragraphs CONCATENATE; date = first <time> anywhere;
+        # author span.detail__author unguarded -> crash-drop
+        title = _first(_RE_TITLE_BVH, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_BVH, html)
+        author = _first(_RE_AUTHOR_BVH, html)
+        if author is None:
+            return None  # unguarded .text chain
+        date_raw = _first(_RE_TIME_ANY, html)
+        m = _RE_BODY_BVH.search(html)
+        walk = _walk2(m.group(1), _RE_WALK_PI) if m else []
+        texts = [v.strip() for k, v in walk if k == "text"]
+        texts = [t for t in texts if t]
+        images = [v for k, v in walk if k == "image"]
+        return _rec(title.strip(), desc.strip() if desc else None,
+                    "".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip(), images, texts)
+
+    if profile == "tnm":
+        # span-decompose family (tainguyenvamoitruong.py:117-143): the
+        # descDetail paragraph's <span> children are DECOMPOSED before
+        # get_text; h2 title; author = last right-styled p of the content
+        # (which stays in the content); images urljoin'd against the base
+        title = _first(_RE_TITLE_TNM, html)
+        desc_raw = _first(_RE_DESC_TNM, html)
+        date_raw = _first(_RE_DATE_TNM, html)
+        if title is None or desc_raw is None or date_raw is None:
+            return None  # unguarded .text chain
+        desc = _STRIP_TAGS.sub("", _RE_SPAN_TAG.sub("", desc_raw)).strip()
+        m = _RE_BODY_TNM.search(html)
+        texts = []
+        images = []
+        author = None
+        if m:
+            right_texts = []
+            for mm in _RE_WALK_TNM.finditer(m.group(1)):
+                g = mm.groupdict()
+                if g["para"] is not None:
+                    t = _STRIP_TAGS.sub("", g["para"]).strip()
+                    if t:
+                        texts.append(t)
+                    if g["style"] and "text-align: right" in g["style"] and \
+                            _STRIP_TAGS.sub("", g["para"]).strip():
+                        right_texts.append(_STRIP_TAGS.sub("", g["para"]).strip())
+                elif g["img"] is not None:
+                    src = g["img"]
+                    images.append(
+                        src if src.startswith("http") else base_url + src
+                    )
+            if right_texts:
+                author = right_texts[-1]
+        return _rec(title.strip(), desc, "\n\n".join(texts),
+                    date_raw.strip(), author, images, texts)
+
+    if profile == "kth":
+        # justify-filtered p+div family (kienthuc.py:165-185): title via
+        # get_text() with NO strip; content blocks are p OR div whose style
+        # contains text-align: justify (style LAMBDA), "\n\n" join; date =
+        # first <time>; author span.name unguarded -> crash-drop
+        title = _first(_RE_TITLE_KTH, html)
+        if title is None:
+            return None
+        desc = _first(_RE_DESC_KTH, html)
+        date_raw = _first(_RE_TIME_ANY, html)
+        author = _first(_RE_AUTHOR_NAME_KTH, html)
+        if author is None:
+            return None
+        m = _RE_BODY_KTH.search(html)
+        texts = []
+        images = []
+        if m:
+            for mm in _RE_WALK_KTH.finditer(m.group(1)):
+                g = mm.groupdict()
+                if g["para"] is not None:
+                    if g["style"] and "text-align: justify" in g["style"]:
+                        texts.append(_STRIP_TAGS.sub("", g["para"]).strip())
+                elif g["img"] is not None:
+                    images.append(g["img"])
+        return _rec(title, desc.strip() if desc else None,
+                    "\n\n".join(texts), date_raw.strip() if date_raw else None,
+                    author.strip(), images, texts)
+
+    if profile == "bhq":
+        # breadcrumb-date family (baohaiquanvietnam.py:116-146): the date
+        # is scanned out of ol.breadcrumb anchors by a dd/mm/yyyy hh:mm:ss
+        # regex; caption paragraphs (containing an img or 'Ảnh:') are
+        # SKIPPED from the content; author = FIRST right-styled p ('' when
+        # absent); images urljoin'd
+        title = _first(_RE_TITLE_BHQ, html)
+        if title is None:
+            return None
+        desc = _first(_RE_QUE_STRONG_BHQ, html)
+        date_raw = None
+        bc = _first(_RE_BREADCRUMB_BHQ, html)
+        if bc:
+            for a in _RE_BC_A.findall(bc):
+                if _RE_BC_DATE.search(a.strip()):
+                    date_raw = a.strip()
+                    break
+        m = _RE_BODY_BHQ.search(html)
+        texts = []
+        images = []
+        author = ""
+        if m:
+            for mm in _RE_WALK_BHQ.finditer(m.group(1)):
+                g = mm.groupdict()
+                if g["para"] is not None:
+                    raw = g["para"]
+                    if author == "" and g["style"] and \
+                            "text-align: right" in g["style"]:
+                        author = _STRIP_TAGS.sub("", raw).strip()
+                    if "<img" in raw or "Ảnh:" in _STRIP_TAGS.sub("", raw):
+                        # caption paragraph skipped from the content, but
+                        # its nested images still collect below
+                        for im in _RE_IMG_PLAIN.findall(raw):
+                            images.append(
+                                im if im.startswith("http") else base_url + im
+                            )
+                        continue
+                    t = _STRIP_TAGS.sub("", raw).strip()
+                    if t:
+                        texts.append(t)
+                elif g["img"] is not None:
+                    src = g["img"]
+                    images.append(
+                        src if src.startswith("http") else base_url + src
+                    )
+        return _rec(title.strip(), desc.strip() if desc else "",
+                    "\n".join(texts), date_raw, author, images, texts)
+
     raise ValueError(f"unknown v2 profile {profile}")
 
 
@@ -922,6 +1429,48 @@ _RE_NEWS2_SECTION = re.compile(
 _RE_NEWS2_ITEM = re.compile(r'<div class="news2Item">(.*?)</div>', re.S)
 _RE_ONECMS_UL = re.compile(r'<ul class="onecms__loading">(.*?)</ul>', re.S)
 _RE_BGRID_A = re.compile(r'<h3 class="b-grid__title"><a href="(.*?)">')
+_RE_BXCAT = re.compile(
+    r'<div class="bx-cat-content fw lt mb2">(.*?)<!--bxcat-end-->', re.S
+)
+_RE_H3_ARTICLE_TITLE = re.compile(r'<h3 class="article-title">(.*?)</h3>', re.S)
+_RE_CATLISTING = re.compile(
+    r'<div class="cat-listing bg-dots mt20 pt20 article-bdt-20 thumb-w250 '
+    r'title-22 no-catname">(.*?)<!--catlisting-end-->', re.S
+)
+_RE_BXLIST = re.compile(
+    r'<div class="bx-list fw lt mb clearfix">(.*?)<!--bxlist-end-->', re.S
+)
+_RE_DLE = re.compile(r'<div id="dle-content">(.*?)<!--dle-end-->', re.S)
+_RE_A_ARTICLE_TITLE = re.compile(r'<a class="article-title" href="(.*?)">')
+_RE_LIST_ARTICLES = re.compile(
+    r'<ul class="list-unstyled list-articles mt-2rem">(.*?)</ul>', re.S
+)
+_RE_H3_CARD_A = re.compile(
+    r'<h3 class="mt-0 mb-1 title card-title fs-18"><a href="(.*?)">'
+)
+_RE_ROW_DIV = re.compile(r'<div class="row">(.*?)<!--row-end-->', re.S)
+_RE_IMG_CONTENT_DIV = re.compile(
+    r'<div class="img-content">(.*?)</div>', re.S
+)
+_RE_CATBOX_LG = re.compile(r'<div class="category-box-lg">(.*?)</div>', re.S)
+_RE_H6_A = re.compile(r"<h6><a href=\"(.*?)\">")
+_RE_CATE_BOX_BXD = re.compile(
+    r'<div class="section__news-cate-box">(.*?)<!--catebox-end-->', re.S
+)
+_RE_BOXCAT_TITLE_A = re.compile(
+    r'<h3 class="box-category-title-text"><a href="(.*?)">'
+)
+_RE_CAT_MIDDLE = re.compile(
+    r'<div class="box-category-middle">(.*?)<!--catmid-end-->', re.S
+)
+_RE_H3_PLAIN_A = re.compile(r"<h3><a href=\"(.*?)\">")
+_RE_STORY_BVH = re.compile(r'<article class="story">(.*?)</article>', re.S)
+_RE_STORY_TITLE_BVH = re.compile(r'<h3 class="story__title">(.*?)</h3>', re.S)
+_RE_LISTNEWS_TNM = re.compile(
+    r'<div class="list_news-page">(.*?)<!--listnews-end-->', re.S
+)
+_RE_TITLE24_A = re.compile(r'<h3 class="title-24"><a href="(.*?)">')
+_RE_WRAP_NEWS = re.compile(r'<div class="wrap-news-list">(.*?)</div>', re.S)
 
 
 def _fam_h3_title_news(html: str) -> list[str]:
@@ -1085,6 +1634,124 @@ def _fam_bgrid_title(html: str) -> list[str]:
     return _RE_BGRID_A.findall(m.group(1)) if m else []
 
 
+def _fam_bx_cat_content(html: str) -> list[str]:
+    # h3.article-title > a under the bx-cat container, http(s)-prefixed
+    # hrefs only (congthuong.py:212-225)
+    m = _RE_BXCAT.search(html)
+    if not m:
+        return []
+    links = []
+    for hm in _RE_H3_ARTICLE_TITLE.finditer(m.group(1)):
+        a = _RE_A_HREF.search(hm.group(1))
+        if a and a.group(1).startswith("http"):
+            links.append(a.group(1))
+    return links
+
+
+def _fam_cat_listing(html: str) -> list[str]:
+    # the seven-class cat-listing container, h3.article-title > first a
+    # (baotaichinhvietnam.py:211-222)
+    m = _RE_CATLISTING.search(html)
+    if not m:
+        return []
+    links = []
+    for hm in _RE_H3_ARTICLE_TITLE.finditer(m.group(1)):
+        a = _RE_A_HREF.search(hm.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_bx_list(html: str) -> list[str]:
+    # div.bx-list, h3.article-title's FIRST a (h3.a — direct child), an
+    # anchorless h3 skipped (quanlythitruong.py:203-210)
+    m = _RE_BXLIST.search(html)
+    if not m:
+        return []
+    links = []
+    for hm in _RE_H3_ARTICLE_TITLE.finditer(m.group(1)):
+        a = _RE_A_HREF.search(hm.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
+def _fam_dle_content(html: str) -> list[str]:
+    # div#dle-content, a.article-title anchors directly
+    # (taichinhdoanhnghiep.py:197-203)
+    m = _RE_DLE.search(html)
+    return _RE_A_ARTICLE_TITLE.findall(m.group(1)) if m else []
+
+
+def _fam_list_articles(html: str) -> list[str]:
+    # ul.list-articles, the six-class h3 > a (thuonghieucongluan.py:192-199)
+    m = _RE_LIST_ARTICLES.search(html)
+    return _RE_H3_CARD_A.findall(m.group(1)) if m else []
+
+
+def _fam_row_h6(html: str) -> list[str]:
+    # per row: div.img-content h6>a's THEN div.category-box-lg h6>a's
+    # (tapchigiaoduc.py:192-206)
+    links = []
+    for rm in _RE_ROW_DIV.finditer(html):
+        row = rm.group(1)
+        for cm in _RE_IMG_CONTENT_DIV.finditer(row):
+            a = _RE_H6_A.search(cm.group(1))
+            if a:
+                links.append(a.group(1))
+        for cm in _RE_CATBOX_LG.finditer(row):
+            a = _RE_H6_A.search(cm.group(1))
+            if a:
+                links.append(a.group(1))
+    return links
+
+
+def _fam_cate_box(html: str) -> list[str]:
+    # selenium one-shot: div.section__news-cate-box,
+    # h3.box-category-title-text a (baoxaydung.py:200-220)
+    m = _RE_CATE_BOX_BXD.search(html)
+    return _RE_BOXCAT_TITLE_A.findall(m.group(1)) if m else []
+
+
+def _fam_cat_middle(html: str) -> list[str]:
+    # selenium one-shot: div.box-category-middle, h3 a
+    # (suckhoedoisong.py:212-230)
+    links = []
+    for bm in _RE_CAT_MIDDLE.finditer(html):
+        links.extend(_RE_H3_PLAIN_A.findall(bm.group(1)))
+    return links
+
+
+def _fam_story_title(html: str) -> list[str]:
+    # article.story > h3.story__title > first a (baovanhoa.py:254-266)
+    links = []
+    for sm in _RE_STORY_BVH.finditer(html):
+        tm = _RE_STORY_TITLE_BVH.search(sm.group(1))
+        if tm:
+            a = _RE_A_HREF.search(tm.group(1))
+            if a:
+                links.append(a.group(1))
+    return links
+
+
+def _fam_listnews_title24(html: str) -> list[str]:
+    # div.list_news-page h3.title-24 a, '/'-prefixed absolutized downstream
+    # (tainguyenvamoitruong.py:203-214)
+    m = _RE_LISTNEWS_TNM.search(html)
+    return _RE_TITLE24_A.findall(m.group(1)) if m else []
+
+
+def _fam_wrap_news_list(html: str) -> list[str]:
+    # .wrap-news-list containers, select_one a[href] each
+    # (baohaiquanvietnam.py:197-208)
+    links = []
+    for wm in _RE_WRAP_NEWS.finditer(html):
+        a = _RE_A_HREF.search(wm.group(1))
+        if a:
+            links.append(a.group(1))
+    return links
+
+
 def _fam_ul_li_first_a(html: str) -> list[str]:
     # ul.list_news_home li > first a[href] each (baodautu.py:194-202)
     m = _RE_UL_LNH.search(html)
@@ -1117,6 +1784,17 @@ LISTING_PARSERS = {
     "ul-li-first-a": _fam_ul_li_first_a,
     "news2item": _fam_news2item,
     "bgrid-title": _fam_bgrid_title,
+    "bx-cat-content": _fam_bx_cat_content,
+    "cat-listing": _fam_cat_listing,
+    "bx-list": _fam_bx_list,
+    "dle-content": _fam_dle_content,
+    "list-articles": _fam_list_articles,
+    "row-h6": _fam_row_h6,
+    "cate-box": _fam_cate_box,
+    "cat-middle": _fam_cat_middle,
+    "story-title": _fam_story_title,
+    "listnews-title24": _fam_listnews_title24,
+    "wrap-news-list": _fam_wrap_news_list,
 }
 
 # sniff order for family=None callers: container-gated families first (their
@@ -1124,7 +1802,10 @@ LISTING_PARSERS = {
 _SNIFF_ORDER = (
     "khuvuc-anchors", "article-first-a", "item-post", "two-container",
     "zone-story", "link-title", "ctrangc3", "thumb-class", "two-phase",
-    "ul-li-first-a", "news2item", "bgrid-title", "h3-title-news", "article-walk",
+    "ul-li-first-a", "news2item", "bgrid-title", "bx-cat-content",
+    "cat-listing", "bx-list", "dle-content", "list-articles", "row-h6",
+    "cate-box", "cat-middle", "story-title", "listnews-title24",
+    "wrap-news-list", "h3-title-news", "article-walk",
     "multi-class", "newstitle-div", "relative-only", "http-filter",
 )
 

@@ -44,7 +44,9 @@ def stable_hash(s: str, seed: int = 0) -> int:
 
 PROFILES = ("vnx", "dtr", "btt", "vnn", "qdn", "btu", "thp", "bdt", "cnd",
             "dcs", "vne", "ktd", "tct", "vdl", "skc",
-            "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl")
+            "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl",
+            "ctg", "btv", "qlt", "tdn",
+            "thc", "tgd", "bxd", "skd", "bvh", "tnm", "kth", "bhq")
 
 PAGINATION = {
     "vnx": "suffix-p",  # https://{h}/{slug}-p{n}            vnexpress.py:255
@@ -69,6 +71,22 @@ PAGINATION = {
     "pnm": "slug-p",  # https://{h}/{slug}/p{n}               phunumoi.py:176
     "vtc": "trang-html",  # https://{h}/{slug}/trang-{n}.html vtcnews.py:219
     "cgl": "one-shot",  # selenium load-more, no paged URL    congly.py:201-233
+    # the TRUE MASTERCMS template: &s_cond=&BRSR={page} with the RAW page
+    # number (congthuong.py:198, baotaichinhvietnam.py:197,
+    # quanlythitruong.py:192) — the 20*(n-1) "brsr-offset" kind above is a
+    # synthetic offset variant kept for btt
+    "ctg": "brsr-cond",
+    "btv": "brsr-cond",
+    "qlt": "brsr-cond",
+    "tdn": "cond-first",  # taichinhdoanhnghiep.py:182-184 (same as thp)
+    "thc": "trang-plain",  # https://{h}/{slug}/trang-{n}     thuonghieucongluan.py:184
+    "tgd": "cate-page",  # https://{h}/cate/{slug}/page/{n}   tapchigiaoduc.py:183
+    "bxd": "one-shot",  # selenium load-more                  baoxaydung.py:196-228
+    "skd": "one-shot",  # selenium load-more                  suckhoedoisong.py:208-232
+    "bvh": "qpage",  # https://{h}/{slug}/?page={n}, cap 49   baovanhoa.py:243-245
+    "tnm": "html-qpage",  # https://{h}/{slug}.html?page={n}  tainguyenvamoitruong.py:197
+    "kth": "qpage",  # https://{h}/{slug}/?page={n}           kienthuc.py:238
+    "bhq": "danhmuc-qpage",  # https://{h}/danh-muc/{slug}?page={n}  baohaiquanvietnam.py:189
 }
 
 CONTENT_JOIN = {  # §2.3 P3
@@ -87,6 +105,16 @@ CONTENT_JOIN = {  # §2.3 P3
     # pnm "\n" (phunumoi.py:126); vtc "\n" (vtcnews.py:162);
     # cgl "\n" (congly.py:152)
     "pnm": "\n", "vtc": "\n", "cgl": "\n",
+    # ctg "\n" (congthuong.py:143); btv "\n\n" (baotaichinhvietnam.py:140);
+    # qlt "\n" (quanlythitruong.py:129); tdn "\n\n" (taichinhdoanhnghiep.py:131)
+    "ctg": "\n", "btv": "\n\n", "qlt": "\n", "tdn": "\n\n",
+    # thc "\n\n" (thuonghieucongluan.py:125); tgd "\n" get_text separator
+    # (tapchigiaoduc.py:125); bxd "\n" (baoxaydung.py:143); skd "\n"
+    # (suckhoedoisong.py:148); bvh "" — .text with NO separator
+    # (baovanhoa.py:188); tnm "\n\n" (tainguyenvamoitruong.py:128);
+    # kth "\n\n" (kienthuc.py:179); bhq "\n" (baohaiquanvietnam.py:138)
+    "thc": "\n\n", "tgd": "\n", "bxd": "\n", "skd": "\n",
+    "bvh": "", "tnm": "\n\n", "kth": "\n\n", "bhq": "\n",
 }
 
 # Listing-extraction families (F4) — the reference exhibits ~30 per-site
@@ -147,6 +175,31 @@ LISTING_FAMILY = {
     "pnm": "news2item",
     "vtc": "article-walk",
     "cgl": "bgrid-title",
+    # - bx-cat-content: h3.article-title>a, http-only (congthuong.py:212-225)
+    # - cat-listing:    7-class container, h3>first a (baotaichinhvietnam.py:211-222)
+    # - bx-list:        h3.article-title's direct a (quanlythitruong.py:203-210)
+    # - dle-content:    a.article-title anchors (taichinhdoanhnghiep.py:197-203)
+    "ctg": "bx-cat-content",
+    "btv": "cat-listing",
+    "qlt": "bx-list",
+    "tdn": "dle-content",
+    # - list-articles:    six-class h3 > a (thuonghieucongluan.py:192-199)
+    # - row-h6:           img-content THEN category-box-lg h6>a per row
+    #                     (tapchigiaoduc.py:192-206)
+    # - cate-box:         selenium one-shot (baoxaydung.py:200-220)
+    # - cat-middle:       selenium one-shot (suckhoedoisong.py:212-230)
+    # - story-title:      article.story h3.story__title a (baovanhoa.py:254-266)
+    # - relative-only:    kth is the family's origin cite (kienthuc.py:244-253)
+    # - listnews-title24: h3.title-24 a (tainguyenvamoitruong.py:203-214)
+    # - wrap-news-list:   first a per wrap (baohaiquanvietnam.py:197-208)
+    "thc": "list-articles",
+    "tgd": "row-h6",
+    "bxd": "cate-box",
+    "skd": "cat-middle",
+    "bvh": "story-title",
+    "tnm": "listnews-title24",
+    "kth": "relative-only",
+    "bhq": "wrap-news-list",
 }
 
 _VNN_TITLE_CLASSES = ("horizontalPost__main-title", "vnn-title", "title-bold")
@@ -205,13 +258,14 @@ class WebConfig:
     # families DROP absolute hrefs; dcs/vdl prepend base unconditionally so
     # absolute hrefs would double the scheme — all four REQUIRE relative)
     # (vtc joins: vtcnews.py:241 prepends its base to every heading href)
+    # (kth's relative-only family drops absolute hrefs: kienthuc.py:244-253)
     relative_link_profiles: tuple[str, ...] = ("vnn", "bdt", "dcs", "tct", "vdl",
-                                               "vtc")
+                                               "vtc", "kth")
     # emit a per-link hash-gated mix of relative and absolute hrefs — these
     # families carry conditional absolutization (href if startswith http
     # else base+href: vneconomy.py:208, kinhtedouong.py:236-238), so both
     # forms must flow through the downstream F5 absolutizer
-    mixed_link_profiles: tuple[str, ...] = ("vne", "ktd")
+    mixed_link_profiles: tuple[str, ...] = ("vne", "ktd", "tnm")
     # page_weight scales article length + HTML boilerplate toward realistic
     # news-page sizes (real articles are 100-400 KB with nav/script cruft;
     # weight=1 keeps unit tests fast, bench uses heavier pages so the
@@ -224,6 +278,16 @@ class WebConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "_by_host", {h.host: h for h in self.hosts})
+        for h in self.hosts:
+            # selenium-only sites (congly/baoxaydung/suckhoedoisong) have NO
+            # paged listing-URL form — a paged host with one of these
+            # profiles is a configuration error, caught here rather than as
+            # a mid-crawl ValueError
+            if PAGINATION[h.profile] == "one-shot" and not h.one_shot:
+                raise ValueError(
+                    f"profile {h.profile!r} has no paged listing URL; "
+                    f"host {h.host} must be one_shot"
+                )
 
 
 def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> WebConfig:
@@ -289,6 +353,32 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  robots_disallow=("/video",)),
         HostSpec("cgl1.example.vn", "cgl", n_types=s(2), links_per_page=8,
                  max_depth=1, one_shot=True, crawl_delay_s=1.0),
+        HostSpec("ctg1.example.vn", "ctg", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("btv1.example.vn", "btv", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("qlt1.example.vn", "qlt", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=0.5),
+        HostSpec("tdn1.example.vn", "tdn", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("thc1.example.vn", "thc", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("tgd1.example.vn", "tgd", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("bxd1.example.vn", "bxd", n_types=s(2), links_per_page=6,
+                 max_depth=1, one_shot=True, crawl_delay_s=1.0),
+        HostSpec("skd1.example.vn", "skd", n_types=s(2), links_per_page=6,
+                 max_depth=1, one_shot=True, crawl_delay_s=0.5),
+        # baovanhoa's hard page cap is 49 (baovanhoa.py:243-245); the small
+        # default web keeps the cap semantics with a reachable value
+        HostSpec("bvh1.example.vn", "bvh", n_types=s(2), links_per_page=4,
+                 max_depth=s(3), page_cap=2, crawl_delay_s=1.0),
+        HostSpec("tnm1.example.vn", "tnm", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("kth1.example.vn", "kth", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
+        HostSpec("bhq1.example.vn", "bhq", n_types=s(2), links_per_page=4,
+                 max_depth=s(2), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
 
@@ -374,6 +464,16 @@ def listing_url(cfg: WebConfig, host: str, type_id: int, page: int) -> str:
         return f"https://{host}/{slug}?page={page}"
     if kind == "trang-html":
         return f"https://{host}/{slug}/trang-{page}.html"
+    if kind == "brsr-cond":
+        return f"https://{host}/{slug}&s_cond=&BRSR={page}"
+    if kind == "trang-plain":
+        return f"https://{host}/{slug}/trang-{page}"
+    if kind == "cate-page":
+        return f"https://{host}/cate/{slug}/page/{page}"
+    if kind == "html-qpage":
+        return f"https://{host}/{slug}.html?page={page}"
+    if kind == "danhmuc-qpage":
+        return f"https://{host}/danh-muc/{slug}?page={page}"
     raise ValueError(kind)
 
 
@@ -626,6 +726,124 @@ def render_listing_html(cfg: WebConfig, host: str, type_id: int, page: int) -> s
         ]
         items.append('<li><h3 class="other-title"><a href="/tag/phap-luat">tag</a></h3></li>')
         body = f'<ul class="onecms__loading">{"".join(items)}</ul>'
+    elif fam == "bx-cat-content":
+        # congthuong.py:212-225: h3.article-title > a under the container,
+        # http(s)-prefixed only — javascript: decoys dropped
+        items = ['<h3 class="article-title"><a href="javascript:void(0)">thêm</a></h3>']
+        items += [
+            f'<h3 class="article-title"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        ]
+        body = (
+            f'<div class="bx-cat-content fw lt mb2">{"".join(items)}'
+            "<!--bxcat-end--></div>"
+        )
+    elif fam == "cat-listing":
+        # baotaichinhvietnam.py:211-222: the 7-class container, h3 > first a
+        items = "".join(
+            f'<h3 class="article-title"><a href="{u}">bài {i}</a>'
+            f'<a href="#save">lưu</a></h3>'
+            for i, u in enumerate(links)
+        )
+        body = (
+            '<div class="cat-listing bg-dots mt20 pt20 article-bdt-20 '
+            f'thumb-w250 title-22 no-catname">{items}<!--catlisting-end--></div>'
+        )
+    elif fam == "bx-list":
+        # quanlythitruong.py:203-210: h3.a direct anchors; anchorless h3
+        # (photo teaser) skipped
+        items = ['<h3 class="article-title"><span>ảnh</span></h3>']
+        items += [
+            f'<h3 class="article-title"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        ]
+        body = (
+            f'<div class="bx-list fw lt mb clearfix">{"".join(items)}'
+            "<!--bxlist-end--></div>"
+        )
+    elif fam == "dle-content":
+        # taichinhdoanhnghiep.py:197-203: a.article-title anchors directly;
+        # the class-less anchor is skipped
+        items = "".join(
+            f'<a class="article-title" href="{u}">bài {i}</a>'
+            for i, u in enumerate(links)
+        )
+        body = (
+            f'<div id="dle-content">{items}<a href="/lien-he">liên hệ</a>'
+            "<!--dle-end--></div>"
+        )
+    elif fam == "list-articles":
+        # thuonghieucongluan.py:192-199: the six-class h3 > a; off-class
+        # h3 skipped
+        items = "".join(
+            f'<h3 class="mt-0 mb-1 title card-title fs-18"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        )
+        items += '<h3 class="other"><a href="/tag/hot">tag</a></h3>'
+        body = f'<ul class="list-unstyled list-articles mt-2rem">{items}</ul>'
+    elif fam == "row-h6":
+        # tapchigiaoduc.py:192-206: per row, img-content h6>a THEN
+        # category-box-lg h6>a — the lg box link renders FIRST in the row
+        # but is appended after the img-content links
+        half = max(1, len(links) - 1)
+        head, tail = links[:half], links[half:]
+        row = []
+        row += [f'<div class="category-box-lg"><h6><a href="{u}">nổi bật</a></h6></div>'
+                for u in tail]
+        row += [f'<div class="img-content"><h6><a href="{u}">bài {i}</a></h6></div>'
+                for i, u in enumerate(head)]
+        row.append('<div class="img-content"><span>không h6</span></div>')
+        body = f'<div class="row">{"".join(row)}<!--row-end--></div>'
+    elif fam == "cate-box":
+        # baoxaydung.py:200-220 (selenium one-shot)
+        items = "".join(
+            f'<h3 class="box-category-title-text"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        )
+        body = (
+            f'<div class="section__news-cate-box">{items}<!--catebox-end--></div>'
+        )
+    elif fam == "cat-middle":
+        # suckhoedoisong.py:212-230 (selenium one-shot): two middle boxes
+        half = (len(links) + 1) // 2
+        b1 = "".join(f'<h3><a href="{u}">bài {i}</a></h3>'
+                     for i, u in enumerate(links[:half]))
+        b2 = "".join(f'<h3><a href="{u}">bài {i}</a></h3>'
+                     for i, u in enumerate(links[half:]))
+        body = (
+            f'<div class="box-category-middle">{b1}<!--catmid-end--></div>'
+            f'<div class="box-category-middle">{b2}<!--catmid-end--></div>'
+        )
+    elif fam == "story-title":
+        # baovanhoa.py:254-266: article.story > h3.story__title > first a;
+        # titleless story skipped
+        items = ['<article class="story"><div class="thumb">ảnh</div></article>']
+        items += [
+            f'<article class="story"><h3 class="story__title">'
+            f'<a href="{u}">bài {i}</a></h3></article>'
+            for i, u in enumerate(links)
+        ]
+        body = "".join(items)
+    elif fam == "listnews-title24":
+        # tainguyenvamoitruong.py:203-214: h3.title-24 a under the page list
+        items = "".join(
+            f'<h3 class="title-24"><a href="{u}">bài {i}</a></h3>'
+            for i, u in enumerate(links)
+        )
+        body = (
+            f'<div class="list_news-page">{items}<!--listnews-end--></div>'
+            '<h3 class="title-24"><a href="/ngoai-container">decoy</a></h3>'
+        )
+    elif fam == "wrap-news-list":
+        # baohaiquanvietnam.py:197-208: first a per wrap; anchorless wrap
+        # contributes nothing
+        items = ['<div class="wrap-news-list"><span>tiêu điểm ảnh</span></div>']
+        items += [
+            f'<div class="wrap-news-list"><a href="{u}">bài {i}</a>'
+            f'<a href="#cmt">góp ý</a></div>'
+            for i, u in enumerate(links)
+        ]
+        body = "".join(items)
     else:
         raise ValueError(fam)
     marker = "<!--one-shot-->" if spec.one_shot else ""
@@ -661,9 +879,10 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
     # images interleaved after paragraph positions determined by hash
     n_imgs = h % 4  # 0..3 images
     img_positions = sorted({(stable_hash(f"imgpos|{cu}|{j}", cfg.seed) % n_paras) for j in range(n_imgs)})
-    # vnn images live on the article host itself so relative hrefs can
-    # round-trip through urljoin absolutization (vietnamnet.py:146-157)
-    img_host = host if spec.profile == "vnn" else f"img.{host}"
+    # vnn/tnm images live on the article host itself so relative hrefs can
+    # round-trip through urljoin absolutization (vietnamnet.py:146-157,
+    # tainguyenvamoitruong.py:136-140)
+    img_host = host if spec.profile in ("vnn", "tnm") else f"img.{host}"
     images = [
         (pos, f"https://{img_host}/media/{stable_hash(f'img|{cu}|{pos}', cfg.seed) % 10**8}.jpg")
         for pos in img_positions
@@ -716,7 +935,9 @@ def render_article_html(cfg: WebConfig, host: str, url: str) -> str:
     f = article_fields(cfg, host, url)
     p = spec.profile
     if p in ("dcs", "vne", "ktd", "tct", "vdl", "skc",
-             "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl"):
+             "bvl", "tcd", "tta", "bdu", "pnm", "vtc", "cgl",
+             "ctg", "btv", "qlt", "tdn",
+             "thc", "tgd", "bxd", "skd", "bvh", "tnm", "kth", "bhq"):
         return _render_article_v2(cfg, host, url, f, spec)
     parts = ["<html><head>"]
     parts.append(f'<meta property="og:image" content="{f["hero_image"]}"/>')
@@ -1181,6 +1402,282 @@ def _render_article_v2(cfg: WebConfig, host: str, url: str, f: dict,
             parts.append(f'<img src="https://img.{host}/footer-decoy.jpg"/>')
         parts.append("</div>")
 
+    elif p == "ctg":
+        # p+strong double-walk markup (congthuong.py:128-149): a hash-gated
+        # NESTED strong pins the find_all(["p","strong"]) double-count
+        if f["title"] is not None:
+            parts.append(f'<h1 class="article-detail-title f5">{f["title"]}</h1>')
+        parts.append(f'<div class="article-detail-desc">{f["description"]}</div>')
+        parts.append(f'<span class="format_time">{f["date_raw"]}</span>')
+        parts.append('<div id="articleBody" itemprop="articleBody">')
+        for i, para in enumerate(paras):
+            if i == 1 and h % 3 == 0:
+                # nested strong: its text appears in the p AND standalone
+                lead = para.split(" ", 1)
+                parts.append(
+                    f"<p><strong>{lead[0]}</strong>"
+                    f"{' ' + lead[1] if len(lead) > 1 else ''}</p>"
+                )
+            else:
+                parts.append(f"<p>{para}</p>")
+            if (h >> (i % 16)) % 5 == 0:
+                sub = _sentence(cfg, f"ctgsub|{cu}|{i}", 3)
+                parts.append(f"<strong>{sub}</strong>")  # standalone subhead
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+        parts.append(f'<div class="article-detail-author clearfix">{f["author"]}</div>')
+
+    elif p == "btv":
+        # two-part-date markup (baotaichinhvietnam.py:121-145)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="post-title">{f["title"]}</h1>')
+        tier = h % 3
+        if tier == 0:
+            parts.append(f'<h2 class="author-title">{f["author"]}</h2>')
+        elif tier == 1:
+            # empty h2 -> the get_text(strip=True) falsy check falls back
+            parts.append('<h2 class="author-title"> </h2>')
+            parts.append(f'<div class="post-author">{f["author"]}</div>')
+        # tier 2: neither -> author None
+        parts.append(f'<div class="post-desc">{f["description"]}</div>')
+        hh, mm_ = (h >> 40) % 24, (h >> 46) % 60
+        parts.append(
+            f'<span class="article-publish-time"><span class="format_time">'
+            f"{hh:02d}:{mm_:02d}</span> <span class=\"format_date\">"
+            f'{f["date_raw"]}</span></span>'
+        )
+        parts.append('<div class="post-content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+
+    elif p == "qlt":
+        # MASTERCMS markup (quanlythitruong.py:118-146)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="article-detail-title f0">{f["title"]}</h1>')
+        parts.append(f'<div class="article-detail-desc f0">{f["description"]}</div>')
+        parts.append(f'<span class="format_time">{f["date_raw"]}</span>')
+        if h % 3 == 0:
+            parts.append(f'<span class="article-publisher lt">{f["author"]}</span>')
+        parts.append('<div class="__MASTERCMS_CONTENT fw lt mb clearfix">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        if h % 3 != 0:
+            # right-p author path: an empty right-p decoy AFTER the real
+            # one exercises the nonempty filter in the reversed scan
+            parts.append(f'<p style="text-align: right;">{f["author"]}</p>')
+            parts.append('<p style="text-align: right;"> </p>')
+        parts.append("</div>")
+
+    elif p == "tdn":
+        # noidung-h2 markup (taichinhdoanhnghiep.py:120-139); 1/11 articles
+        # miss the blockquote cite -> crash-drop
+        parts.append('<article class="article"><div class="meta">TCDN</div>')
+        if f["title"] is not None:
+            parts.append(f"<h1>{f['title']}</h1>")
+        parts.append("</article>")
+        parts.append(f'<span class="bx-time lt">{f["date_raw"]}</span>')
+        parts.append('<div id="noidung">')
+        # the h2 description carries raw whitespace the parser normalizes
+        parts.append(f"<h2>  {f['description']}\n </h2>")
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 5 == 0:
+                parts.append("<p></p>")  # empty entry KEPT (no filter)
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+        if h % 11 != 0:
+            parts.append(
+                f'<blockquote class="blockquote-reverse"><cite>{f["author"]}'
+                "</cite></blockquote>"
+            )
+
+    elif p == "thc":
+        # justify-filter markup (thuonghieucongluan.py:117-133): only the
+        # justify-styled paragraphs count; a style-less decoy is skipped;
+        # the date span carries the bi-clock icon token
+        if f["title"] is not None:
+            parts.append(
+                f'<h1 class="page-title mb-3"><a href="{cu}">{f["title"]}</a></h1>'
+            )
+        parts.append(f'<span class="item">bi-clock {f["date_raw"]}</span>')
+        parts.append(f'<div class="article-sapo strong">{f["description"]}</div>')
+        parts.append('<div class="article-body" id="content_detail">')
+        for i, para in enumerate(paras):
+            parts.append(f'<p style="text-align: justify;">{para}</p>')
+            if i == 0 and h % 3 == 0:
+                parts.append("<p>Quảng cáo không justify.</p>")  # skipped
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        theo = "Theo " if h % 2 == 0 else ""
+        parts.append(f'<p style="text-align: right;">{theo}{f["author"]}</p>')
+        parts.append("</div>")
+
+    elif p == "tgd":
+        # heading-ul-date markup (tapchigiaoduc.py:114-133)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="page-title">{f["title"]}</h1>')
+        parts.append(f'<div class="news-sapo strong">{f["description"]}</div>')
+        parts.append(
+            '<div class="news-heading"><ul class="list-unstyled list-inline">'
+            f'<li class="list-inline-item">{f["date_raw"]}</li>'
+            '<li class="list-inline-item">Giáo dục</li></ul>'
+        )
+        parts.append("</div>")
+        parts.append('<div class="news-content detail" id="news-detail">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            if i == 0 and h % 4 == 0:
+                parts.append("<p>  </p>")  # blank fragment -> dropped
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        if h % 3 == 0:
+            parts.append(f'<p align="right">{f["author"]}</p>')  # ALIGN attr
+        parts.append("</div>")
+
+    elif p == "bxd":
+        # data-role one-shot markup (baoxaydung.py:128-152)
+        if f["title"] is not None:
+            parts.append(f'<h1 class="title detail-title">{f["title"]}</h1>')
+        parts.append(f'<h3 class="text detail-sapo">{f["description"]}</h3>')
+        parts.append(f'<span data-role="publishdate">{f["date_raw"]} |</span>')
+        parts.append('<div class="detail-cmain">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+        parts.append(
+            '<div class="detail-author-flex"><span class="ava">A</span>'
+            f'<a class="name" href="#pv">{f["author"]} -</a></div>'
+        )
+
+    elif p == "skd":
+        # data-role + data-original markup (suckhoedoisong.py:129-160)
+        if f["title"] is not None:
+            parts.append(
+                f'<h1 class="detail-title" data-role="title">{f["title"]}</h1>'
+            )
+        parts.append(
+            f'<h2 class="detail-sapo" data-role="sapo">{f["description"]}</h2>'
+        )
+        parts.append(
+            f'<span class="publish-date" data-role="publishdate">'
+            f'{f["date_raw"]} |</span>'
+        )
+        parts.append(
+            '<div class="detail-content afcbc-body" data-role="content">'
+        )
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                if stable_hash(f"skdimg|{src}", cfg.seed) % 2 == 0:
+                    parts.append(f'<img data-original="{src}"/>')
+                else:
+                    parts.append(f'<img src="{src}"/>')
+            if i == 1 and h % 3 == 0:
+                parts.append('<img src="/static/pixel.gif"/>')  # non-http: dropped
+        parts.append("</div>")
+        if h % 4 != 0:
+            parts.append(
+                f'<div class="detail-author" data-role="author">{f["author"]}</div>'
+            )
+
+    elif p == "bvh":
+        # no-separator markup (baovanhoa.py:184-199): .text concatenates
+        # paragraphs with NO joiner
+        if f["title"] is not None:
+            parts.append(f'<h1 class="detail__title">{f["title"]}</h1>')
+        parts.append(f'<h2 class="detail__summary">{f["description"]}</h2>')
+        parts.append(f"<time>{f['date_raw']}</time>")
+        parts.append(f'<span class="detail__author">{f["author"]}</span>')
+        parts.append('<div class="detail__content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("</div>")
+
+    elif p == "tnm":
+        # span-decompose markup (tainguyenvamoitruong.py:117-143): the
+        # descDetail carries a span icon the parser must decompose; 1/3 of
+        # articles route the author through the right-styled tail paragraph
+        if f["title"] is not None:
+            parts.append(f'<h2 class="headingDetail">{f["title"]}</h2>')
+        parts.append(
+            f'<p class="descDetail"><span class="icon-cal">15/3</span>'
+            f'{f["description"]}</p>'
+        )
+        parts.append(f'<span class="time icon-time">{f["date_raw"]}</span>')
+        parts.append('<div class="html-content">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                # relative src exercises the urljoin path
+                if stable_hash(f"tnmimg|{src}", cfg.seed) % 2 == 0 and \
+                        src.startswith(f"https://{host}/"):
+                    parts.append(f'<img src="{src[len("https://" + host):]}"/>')
+                else:
+                    parts.append(f'<img src="{src}"/>')
+        parts.append(f'<p style="text-align: right;">{f["author"]}</p>')
+        parts.append("</div>")
+
+    elif p == "kth":
+        # justify-lambda p+div markup (kienthuc.py:165-185): content blocks
+        # are p OR div styled justify; unstyled decoys skipped; title via
+        # get_text() with NO strip
+        if f["title"] is not None:
+            t = f["title"] + (" " if h % 4 == 0 else "")
+            parts.append(f'<h1 class="cms-title">{t}</h1>')
+        parts.append(f'<h2 class="sapo cms-desc">{f["description"]}</h2>')
+        parts.append(f"<time>{f['date_raw']}</time>")
+        parts.append('<div id="abody">')
+        for i, para in enumerate(paras):
+            tag = "div" if (h >> (i % 16)) % 3 == 0 else "p"
+            parts.append(
+                f'<{tag} style="text-align: justify;">{para}</{tag}>'
+            )
+            if i == 0 and h % 3 == 0:
+                parts.append("<p>Đề xuất cho bạn.</p>")  # style-less: skipped
+            for src in img_by_pos.get(i, []):
+                parts.append(f'<img src="{src}"/>')
+        parts.append("<!--abody-end--></div>")
+        parts.append(f'<span class="name">{f["author"]}</span>')
+
+    elif p == "bhq":
+        # breadcrumb-date markup (baohaiquanvietnam.py:116-146): the date
+        # hides in a breadcrumb anchor matching dd/mm/yyyy hh:mm:ss;
+        # caption paragraphs are skipped from the content
+        if f["title"] is not None:
+            parts.append(f'<h1 class="title-news-detail-left">{f["title"]}</h1>')
+        parts.append(
+            f'<div class="que_news"><p><strong>{f["description"]}</strong></p></div>'
+        )
+        hh, mm_ = (h >> 40) % 24, (h >> 46) % 60
+        bc_date = f"{(h >> 16) % 28 + 1:02d}/{(h >> 8) % 12 + 1:02d}/{2022 + h % 4} {hh:02d}:{mm_:02d}:00"
+        parts.append(
+            '<ol class="breadcrumb"><li><a href="/">Trang chủ</a></li>'
+            f'<li><a href="/chuyen-muc">Chuyên mục</a></li>'
+            f'<li><a href="#t">{bc_date}</a></li></ol>'
+        )
+        parts.append('<div class="content_news">')
+        for i, para in enumerate(paras):
+            parts.append(f"<p>{para}</p>")
+            for src in img_by_pos.get(i, []):
+                # caption paragraph: img + caption text, SKIPPED from content
+                parts.append(f'<p><img src="{src}"/>Ảnh: tư liệu</p>')
+        if h % 3 == 0:
+            parts.append(f'<p style="text-align: right;">{f["author"]}</p>')
+        parts.append("</div>")
+
     else:
         raise ValueError(p)
     parts.append("</body></html>")
@@ -1266,6 +1763,21 @@ def parse_listing_url(cfg: WebConfig, host: str, url: str) -> tuple[int, int]:
         return int(m.group(1)), int(m.group(2))
     if kind == "trang-html":
         m = re.search(r"-(\d+)/trang-(\d+)\.html$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "brsr-cond":
+        m = re.search(r"-(\d+)&s_cond=&BRSR=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "trang-plain":
+        m = re.search(r"-(\d+)/trang-(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "cate-page":
+        m = re.search(r"/cate/.*-(\d+)/page/(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "html-qpage":
+        m = re.search(r"-(\d+)\.html\?page=(\d+)$", path)
+        return int(m.group(1)), int(m.group(2))
+    if kind == "danhmuc-qpage":
+        m = re.search(r"/danh-muc/.*-(\d+)\?page=(\d+)$", path)
         return int(m.group(1)), int(m.group(2))
     raise ValueError(url)
 

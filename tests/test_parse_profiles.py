@@ -927,3 +927,406 @@ def test_round4c_pagination_roundtrip():
     # cgl is one-shot: bare slug URL
     u = hs.listing_url(web, "cgl1.example.vn", 1, 1)
     assert "?" not in u and "/p" not in u.rsplit("/", 1)[-1]
+
+
+# --- round-4d profiles (ctg, btv, qlt, tdn) --------------------------------
+
+
+def test_ctg_p_strong_double_walk():
+    """find_all(["p","strong"]) emits p texts AND every strong — a strong
+    NESTED in a p contributes twice (congthuong.py:141-143)."""
+    html = (
+        '<html><body><h1 class="article-detail-title f5">Tít CTG</h1>'
+        '<div class="article-detail-desc">Mô tả CTG</div>'
+        '<span class="format_time">1/2/2023 10:00</span>'
+        '<div id="articleBody" itemprop="articleBody">'
+        "<p><strong>Nóng:</strong> giá điện tăng.</p>"
+        "<strong>Tiêu điểm</strong>"
+        '<img src="https://img/c1.jpg"/>'
+        "<p>Đoạn hai.</p>"
+        "</div>"
+        '<div class="article-detail-author clearfix">Ban Công Thương</div>'
+        "</body></html>"
+    )
+    rec = parse_article(html, "ctg", "https://h")
+    # p text (tags stripped), then its nested strong AGAIN, then standalone
+    assert rec["span_texts"] == [
+        "Nóng: giá điện tăng.", "Nóng:", "Tiêu điểm", "Đoạn hai."]
+    assert rec["content"] == "Nóng: giá điện tăng.\nNóng:\nTiêu điểm\nĐoạn hai."
+    assert rec["contentImageUrls"] == ["https://img/c1.jpg"]
+    assert rec["author"] == "Ban Công Thương"
+
+
+def test_btv_two_part_date_and_author_fallback():
+    """publishedDate assembled as '{format_time} {format_date}'; empty
+    h2.author-title falls back to div.post-author
+    (baotaichinhvietnam.py:121-137)."""
+    html = (
+        '<html><body><h1 class="post-title">Tít BTV</h1>'
+        '<h2 class="author-title"> </h2>'
+        '<div class="post-author">Thời báo Tài chính</div>'
+        '<div class="post-desc">Mô tả BTV</div>'
+        '<span class="article-publish-time"><span class="format_time">14:45</span> '
+        '<span class="format_date">1/2/2023</span></span>'
+        '<div class="post-content"><p>Đoạn một.</p><p></p><p>Đoạn hai.</p></div>'
+        "</body></html>"
+    )
+    rec = parse_article(html, "btv", "https://h")
+    assert rec["pub_date_raw"] == "14:45 1/2/2023"  # two-part assembly
+    assert rec["author"] == "Thời báo Tài chính"  # empty h2 -> fallback
+    assert rec["content"] == "Đoạn một.\n\n\n\nĐoạn hai."  # empty p KEPT
+    with_h2 = html.replace('<h2 class="author-title"> </h2>',
+                           '<h2 class="author-title">Cây Bút B</h2>')
+    assert parse_article(with_h2, "btv", "https://h")["author"] == "Cây Bút B"
+
+
+def test_qlt_crash_drop_and_right_p_author():
+    """Unguarded title/desc/date get_text crash-drops; author = publisher
+    span else LAST nonempty right-aligned p (quanlythitruong.py:118-146)."""
+    html = (
+        '<html><body><h1 class="article-detail-title f0">Tít QLT</h1>'
+        '<div class="article-detail-desc f0">Mô tả QLT</div>'
+        '<span class="format_time">1/2/2023 10:00</span>'
+        '<div class="__MASTERCMS_CONTENT fw lt mb clearfix">'
+        "<p>Đoạn một.</p>"
+        '<p style="text-align: right;">PV Thị Trường</p>'
+        '<p style="text-align: right;"> </p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "qlt", "https://h")
+    assert rec["author"] == "PV Thị Trường"  # empty right-p skipped (reversed)
+    assert rec["content"] == "Đoạn một.\nPV Thị Trường"
+    with_pub = html.replace(
+        "<body>", '<body><span class="article-publisher lt">Tổng cục QLTT</span>')
+    assert parse_article(with_pub, "qlt", "https://h")["author"] == "Tổng cục QLTT"
+    # a missing desc crash-drops even with the title present
+    no_desc = html.replace('<div class="article-detail-desc f0">Mô tả QLT</div>', "")
+    assert parse_article(no_desc, "qlt", "https://h") is None
+
+
+def test_tdn_h2_desc_normalize_and_cite_crash():
+    """Description = content div's first h2, whitespace-normalized; missing
+    h2 OR missing blockquote cite crash-drops (taichinhdoanhnghiep.py:125-139)."""
+    html = (
+        '<html><body><article class="article"><div class="meta">TCDN</div>'
+        "<h1>Tít TDN</h1></article>"
+        '<span class="bx-time lt">1/2/2023 10:00</span>'
+        '<div id="noidung"><h2>  Mô   tả\n TDN </h2>'
+        "<p>Đoạn một.</p><p></p><p>Đoạn hai.</p></div>"
+        '<blockquote class="blockquote-reverse"><cite>Hà Quang</cite></blockquote>'
+        "</body></html>"
+    )
+    rec = parse_article(html, "tdn", "https://h")
+    assert rec["description"] == "Mô tả TDN"  # \s+ -> ' ' then strip
+    assert rec["author"] == "Hà Quang"
+    assert rec["content"] == "Đoạn một.\n\n\n\nĐoạn hai."  # empty p KEPT
+    no_cite = html.replace(
+        '<blockquote class="blockquote-reverse"><cite>Hà Quang</cite></blockquote>', "")
+    assert parse_article(no_cite, "tdn", "https://h") is None
+    no_h2 = html.replace("<h2>  Mô   tả\n TDN </h2>", "")
+    assert parse_article(no_h2, "tdn", "https://h") is None
+
+
+def test_round4d_listing_families():
+    """bx-cat-content http-filter / cat-listing / bx-list / dle-content
+    (congthuong.py:212-225, baotaichinhvietnam.py:211-222,
+    quanlythitruong.py:203-210, taichinhdoanhnghiep.py:197-203)."""
+    ctg = (
+        '<html><body><div class="bx-cat-content fw lt mb2">'
+        '<h3 class="article-title"><a href="javascript:void(0)">thêm</a></h3>'
+        '<h3 class="article-title"><a href="https://h/a/bai-viet-1000001.html">x</a></h3>'
+        "<!--bxcat-end--></div></body></html>"
+    )
+    assert parse_listing(ctg, "bx-cat-content")[0] == [
+        "https://h/a/bai-viet-1000001.html"]  # javascript decoy dropped
+
+    btv = (
+        '<html><body><div class="cat-listing bg-dots mt20 pt20 article-bdt-20 '
+        'thumb-w250 title-22 no-catname">'
+        '<h3 class="article-title"><a href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="#save">lưu</a></h3>'
+        "<!--catlisting-end--></div></body></html>"
+    )
+    assert parse_listing(btv, "cat-listing")[0] == [
+        "https://h/a/bai-viet-1000001.html"]  # first a only
+
+    qlt = (
+        '<html><body><div class="bx-list fw lt mb clearfix">'
+        '<h3 class="article-title"><span>ảnh</span></h3>'
+        '<h3 class="article-title"><a href="https://h/a/bai-viet-1000001.html">x</a></h3>'
+        "<!--bxlist-end--></div></body></html>"
+    )
+    assert parse_listing(qlt, "bx-list")[0] == ["https://h/a/bai-viet-1000001.html"]
+
+    tdn = (
+        '<html><body><div id="dle-content">'
+        '<a class="article-title" href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="/lien-he">liên hệ</a>'
+        '<a class="article-title" href="https://h/a/bai-viet-1000002.html">y</a>'
+        "<!--dle-end--></div></body></html>"
+    )
+    assert parse_listing(tdn, "dle-content")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000002.html"]
+
+
+def test_round4d_pagination_roundtrip():
+    """The TRUE MASTERCMS template &s_cond=&BRSR={raw page}
+    (congthuong.py:198) and tdn's conditional first page."""
+    from crawler_news_spark.sources import hostsim as hs
+
+    web = hs.default_web()
+    for host in ("ctg1.example.vn", "btv1.example.vn", "qlt1.example.vn"):
+        for t in (0, 1):
+            for p in (1, 2, 7):
+                u = hs.listing_url(web, host, t, p)
+                assert f"&s_cond=&BRSR={p}" in u, u  # RAW page number
+                assert hs.parse_listing_url(web, host, u) == (t, p)
+    u1 = hs.listing_url(web, "tdn1.example.vn", 0, 1)
+    u2 = hs.listing_url(web, "tdn1.example.vn", 0, 2)
+    assert u1.endswith("/") and u2.endswith("/p2")
+
+
+# --- round-4e profiles (thc, tgd, bxd, skd, bvh, tnm, kth, bhq) ------------
+# full 34-site registry coverage: every factory.py:36-70 class has a profile
+
+
+def test_thc_justify_filter_and_icon_strip():
+    """Only justify-styled p's feed content; 'bi-clock' icon token stripped
+    from the date; title in the h1's nested <a>; author 'Theo ' replace
+    (thuonghieucongluan.py:117-133)."""
+    html = (
+        '<html><body><h1 class="page-title mb-3"><a href="#u">Tít THC</a></h1>'
+        '<span class="item">bi-clock 1/2/2023 10:00</span>'
+        '<div class="article-sapo strong">Mô tả THC</div>'
+        '<div class="article-body" id="content_detail">'
+        '<p style="text-align: justify;">Đoạn một.</p>'
+        "<p>Quảng cáo không justify.</p>"
+        '<img src="https://img/t1.jpg"/>'
+        '<p style="text-align: justify;">Đoạn hai.</p>'
+        '<p style="text-align: right;">Theo Công Luận</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "thc", "https://h")
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"  # bi-clock stripped
+    assert rec["content"] == "Đoạn một.\n\nĐoạn hai."  # justify filter
+    assert rec["author"] == "Công Luận"  # "Theo " replaced
+    assert rec["contentImageUrls"] == ["https://img/t1.jpg"]
+    no_date = html.replace('<span class="item">bi-clock 1/2/2023 10:00</span>', "")
+    assert parse_article(no_date, "thc", "https://h") is None  # unguarded
+
+
+def test_tgd_heading_li_date_and_align_author():
+    """Date from news-heading ul's first li; author p[align=right] — the
+    HTML attribute, not a style (tapchigiaoduc.py:118-133)."""
+    html = (
+        '<html><body><h1 class="page-title">Tít TGD</h1>'
+        '<div class="news-sapo strong">Mô tả TGD</div>'
+        '<div class="news-heading"><ul class="list-unstyled list-inline">'
+        '<li class="list-inline-item">1/2/2023 10:00</li>'
+        '<li class="list-inline-item">Giáo dục</li></ul></div>'
+        '<div class="news-content detail" id="news-detail">'
+        "<p>Đoạn một.</p><p>  </p><p>Đoạn hai.</p>"
+        '<p align="right">PV Giáo Dục</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "tgd", "https://h")
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"  # first li only
+    assert rec["author"] == "PV Giáo Dục"
+    # get_text("\n") semantics: blank fragment dropped; author line IS text
+    assert rec["content"] == "Đoạn một.\nĐoạn hai.\nPV Giáo Dục"
+
+
+def test_bxd_skd_datarole_and_shears():
+    """bxd: publishdate rstrip('|'), author a.name rstrip('-'); skd:
+    data-original-over-src image preference + http filter
+    (baoxaydung.py:134-152, suckhoedoisong.py:129-160)."""
+    bxd = (
+        '<html><body><h1 class="title detail-title">Tít BXD</h1>'
+        '<h3 class="text detail-sapo">Mô tả BXD</h3>'
+        '<span data-role="publishdate">1/2/2023 10:00 |</span>'
+        '<div class="detail-cmain"><p>Đoạn một.</p></div>'
+        '<div class="detail-author-flex"><span class="ava">A</span>'
+        '<a class="name" href="#pv">Kiến Trúc Sư -</a></div></body></html>'
+    )
+    rec = parse_article(bxd, "bxd", "https://h")
+    assert rec["pub_date_raw"] == "1/2/2023 10:00"  # '|' sheared
+    assert rec["author"] == "Kiến Trúc Sư"  # '-' sheared
+    skd = (
+        '<html><body><h1 class="detail-title" data-role="title">Tít SKD</h1>'
+        '<h2 class="detail-sapo" data-role="sapo">Mô tả SKD</h2>'
+        '<span class="publish-date" data-role="publishdate">1/2/2023 10:00 |</span>'
+        '<div class="detail-content afcbc-body" data-role="content">'
+        "<p>Đoạn một.</p>"
+        '<img data-original="https://img/s1.jpg"/>'
+        '<img src="/static/pixel.gif"/>'
+        '<img src="https://img/s2.jpg"/>'
+        "</div>"
+        '<div class="detail-author" data-role="author">BS. Sức Khỏe</div>'
+        "</body></html>"
+    )
+    rec2 = parse_article(skd, "skd", "https://h")
+    # data-original preferred; non-http dropped
+    assert rec2["contentImageUrls"] == ["https://img/s1.jpg", "https://img/s2.jpg"]
+    assert rec2["author"] == "BS. Sức Khỏe"
+
+
+def test_bvh_no_separator_concat_and_author_crash():
+    """.text with NO separator concatenates adjacent paragraphs; missing
+    span.detail__author crash-drops (baovanhoa.py:188-199)."""
+    html = (
+        '<html><body><h1 class="detail__title">Tít BVH</h1>'
+        '<h2 class="detail__summary">Mô tả BVH</h2>'
+        "<time>1/2/2023 10:00</time>"
+        '<span class="detail__author">PV Văn Hóa</span>'
+        '<div class="detail__content"><p>Đoạn một.</p><p>Đoạn hai.</p></div>'
+        "</body></html>"
+    )
+    rec = parse_article(html, "bvh", "https://h")
+    assert rec["content"] == "Đoạn một.Đoạn hai."  # NO joiner
+    assert parse_article(
+        html.replace('<span class="detail__author">PV Văn Hóa</span>', ""),
+        "bvh", "https://h") is None
+
+
+def test_tnm_span_decompose_and_urljoin():
+    """descDetail's <span> children decomposed before get_text; relative
+    img srcs urljoin'd; author = last right-styled content p
+    (tainguyenvamoitruong.py:117-143)."""
+    html = (
+        '<html><body><h2 class="headingDetail">Tít TNM</h2>'
+        '<p class="descDetail"><span class="icon-cal">15/3</span>Mô tả TNM</p>'
+        '<span class="time icon-time">1/2/2023 10:00</span>'
+        '<div class="html-content">'
+        "<p>Đoạn một.</p>"
+        '<img src="/media/1.jpg"/>'
+        '<img src="https://cdn/2.jpg"/>'
+        '<p style="text-align: right;">PV Môi Trường</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "tnm", "https://h.example.vn")
+    assert rec["description"] == "Mô tả TNM"  # span decomposed
+    assert rec["contentImageUrls"] == [
+        "https://h.example.vn/media/1.jpg", "https://cdn/2.jpg"]
+    assert rec["author"] == "PV Môi Trường"
+    assert "PV Môi Trường" in rec["content"]  # author p stays in content
+
+
+def test_kth_justify_lambda_p_or_div():
+    """Content blocks are p OR div whose style contains justify; unstyled
+    decoys skipped; title get_text() keeps whitespace; missing span.name
+    crash-drops (kienthuc.py:165-185)."""
+    html = (
+        '<html><body><h1 class="cms-title">Tít KTH </h1>'
+        '<h2 class="sapo cms-desc">Mô tả KTH</h2>'
+        "<time>1/2/2023 10:00</time>"
+        '<div id="abody">'
+        '<p style="text-align: justify;">Đoạn một.</p>'
+        "<p>Đề xuất cho bạn.</p>"
+        '<div style="margin: 0; text-align: justify;">Khối hai.</div>'
+        '<img src="https://img/k1.jpg"/>'
+        "<!--abody-end--></div>"
+        '<span class="name">Bút Kiến Thức</span></body></html>'
+    )
+    rec = parse_article(html, "kth", "https://h")
+    assert rec["title"] == "Tít KTH "  # no strip
+    assert rec["content"] == "Đoạn một.\n\nKhối hai."  # p AND div, justify only
+    assert rec["author"] == "Bút Kiến Thức"
+    assert parse_article(html.replace(
+        '<span class="name">Bút Kiến Thức</span>', ""), "kth", "https://h") is None
+
+
+def test_bhq_breadcrumb_date_and_caption_skip():
+    """Date scanned from breadcrumb anchors by the dd/mm/yyyy hh:mm:ss
+    regex; caption p's (img or 'Ảnh:') skipped from content but their
+    images still collected (baohaiquanvietnam.py:116-146)."""
+    html = (
+        '<html><body><h1 class="title-news-detail-left">Tít BHQ</h1>'
+        '<div class="que_news"><p><strong>Mô tả BHQ</strong></p></div>'
+        '<ol class="breadcrumb"><li><a href="/">Trang chủ</a></li>'
+        '<li><a href="#t">04/10/2024 16:40:00</a></li></ol>'
+        '<div class="content_news">'
+        "<p>Đoạn một.</p>"
+        '<p><img src="https://img/b1.jpg"/>Ảnh: tư liệu</p>'
+        "<p>Đoạn hai.</p>"
+        '<p style="text-align: right;">PV Hải Quân</p>'
+        "</div></body></html>"
+    )
+    rec = parse_article(html, "bhq", "https://h")
+    assert rec["pub_date_raw"] == "04/10/2024 16:40:00"  # breadcrumb scan
+    assert rec["content"] == "Đoạn một.\nĐoạn hai.\nPV Hải Quân"  # caption skipped
+    assert rec["contentImageUrls"] == ["https://img/b1.jpg"]
+    assert rec["author"] == "PV Hải Quân"
+
+
+def test_round4e_listing_families_and_pagination():
+    """The last eight families' container scoping + the four new pagination
+    kinds roundtrip."""
+    from crawler_news_spark.sources import hostsim as hs
+
+    thc = (
+        '<html><body><ul class="list-unstyled list-articles mt-2rem">'
+        '<h3 class="mt-0 mb-1 title card-title fs-18">'
+        '<a href="https://h/a/bai-viet-1000001.html">x</a></h3>'
+        '<h3 class="other"><a href="/tag/hot">tag</a></h3>'
+        "</ul></body></html>"
+    )
+    assert parse_listing(thc, "list-articles")[0] == [
+        "https://h/a/bai-viet-1000001.html"]
+
+    tgd = (
+        '<html><body><div class="row">'
+        '<div class="category-box-lg"><h6><a href="https://h/a/bai-viet-1000009.html">nb</a></h6></div>'
+        '<div class="img-content"><h6><a href="https://h/a/bai-viet-1000001.html">x</a></h6></div>'
+        '<div class="img-content"><span>không h6</span></div>'
+        "<!--row-end--></div></body></html>"
+    )
+    # img-content links first, category-box-lg appended after
+    assert parse_listing(tgd, "row-h6")[0] == [
+        "https://h/a/bai-viet-1000001.html", "https://h/a/bai-viet-1000009.html"]
+
+    bvh = (
+        '<html><body><article class="story"><div class="thumb">ảnh</div></article>'
+        '<article class="story"><h3 class="story__title">'
+        '<a href="https://h/a/bai-viet-1000001.html">x</a></h3></article>'
+        "</body></html>"
+    )
+    assert parse_listing(bvh, "story-title")[0] == [
+        "https://h/a/bai-viet-1000001.html"]
+
+    bhq = (
+        '<html><body><div class="wrap-news-list"><span>ảnh</span></div>'
+        '<div class="wrap-news-list"><a href="https://h/a/bai-viet-1000001.html">x</a>'
+        '<a href="#cmt">c</a></div></body></html>'
+    )
+    assert parse_listing(bhq, "wrap-news-list")[0] == [
+        "https://h/a/bai-viet-1000001.html"]
+
+    web = hs.default_web()
+    cases = {
+        "thc1.example.vn": "/trang-",
+        "tgd1.example.vn": "/page/",
+        "tnm1.example.vn": ".html?page=",
+        "bhq1.example.vn": "/danh-muc/",
+    }
+    for host, marker in cases.items():
+        for t in (0, 1):
+            for p in (1, 2, 5):
+                u = hs.listing_url(web, host, t, p)
+                assert marker in u, (host, u)
+                assert hs.parse_listing_url(web, host, u) == (t, p), u
+    # bvh page cap models baovanhoa.py:243-245 (empty past the cap)
+    assert hs.listing_links(web, "bvh1.example.vn", 0,
+                            web.spec("bvh1.example.vn").page_cap + 1) == []
+
+
+def test_full_registry_coverage():
+    """Every reference crawler class (factory.py:36-70, 34 sites) has a
+    profile with a pagination kind, content join, and listing family."""
+    from crawler_news_spark.functions.parse_profiles import LISTING_PARSERS
+    from crawler_news_spark.sources import hostsim as hs
+
+    assert len(hs.PROFILES) == 34
+    for prof in hs.PROFILES:
+        assert prof in hs.PAGINATION, prof
+        assert prof in hs.CONTENT_JOIN, prof
+        assert hs.LISTING_FAMILY[prof] in LISTING_PARSERS, prof

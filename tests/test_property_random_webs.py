@@ -25,7 +25,10 @@ def random_web(seed: int) -> hs.WebConfig:
                 links_per_page=rng.randint(2, 7),
                 max_depth=rng.randint(1, 5),
                 page_cap=rng.choice([None, None, 3]),
-                one_shot=rng.random() < 0.2,
+                # selenium-only profiles have no paged-URL form and
+                # must be one_shot (WebConfig validates this)
+                one_shot=(hs.PAGINATION[prof] == "one-shot"
+                          or rng.random() < 0.2),
                 crawl_delay_s=rng.choice([0.5, 1.0, 2.0]),
                 robots_disallow=rng.choice([(), ("/tag",)]),
             )
