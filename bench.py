@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "quality_score",
     "repetition_quality",
     "decontaminate",
+    "hash_sample",
+    "stratified_sample",
+    "pack_sequences",
     "top_keywords",
     "minhash_signatures",
     "minhash_near_dups",

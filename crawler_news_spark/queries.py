@@ -685,6 +685,139 @@ SQL_ORDER_PRIORITY = """
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / packing family (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+# engine-portable 40-bit document hash: the first 10 hex digits of
+# md5(doc_id-as-string) — identical in Spark (conv) and DuckDB (0x-cast),
+# the same recipe the MinHash/LSH oracles use
+_DOC_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 10), 16, 10) as bigint)"
+)
+_DOC_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample: keep a document iff its 40-bit md5
+    bucket (mod 1e6) falls under the rate threshold.  Reproducible across
+    runs/engines/cluster sizes (no RNG state), embarrassingly parallel —
+    a pure codegen filter that reaches the scan, the correct 100 TB shape
+    for corpus subsampling."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.expr(f"pmod({_DOC_HASH_SPARK}, 1000000)")
+    return (
+        docs.withColumn("bucket_u", bucket)
+        .filter(F.col("bucket_u") < 100000)  # 10% rate
+        .select("doc_id", "source", "lang", "bucket_u")
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+    SELECT doc_id, source, lang,
+           {_DOC_HASH_SQL} % 1000000 AS bucket_u
+    FROM documents
+    WHERE {_DOC_HASH_SQL} % 1000000 < 100000
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Stratified (per-source) deterministic sample — domain mixing for a
+    training corpus: each source gets its own keep-rate from a broadcast
+    rate dimension (here derived from md5(source): 5%-25%), and a document
+    survives iff its hash bucket falls under its source's rate.  One
+    broadcast hash join + a codegen filter; the rate dim is
+    O(#sources) — scales to any corpus."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.expr(
+        "50000 + pmod(cast(conv(substr(md5(source), 1, 10), 16, 10) as bigint),"
+        " 200000)"
+    )
+    rates = docs.select("source").distinct().withColumn("rate_u", rate)
+    bucket = F.expr(f"pmod({_DOC_HASH_SPARK}, 1000000)")
+    return (
+        docs.withColumn("bucket_u", bucket)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("bucket_u") < F.col("rate_u"))
+        .select("doc_id", "source", "bucket_u", "rate_u")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+    WITH rates AS (
+      SELECT source,
+             50000 + CAST(concat('0x', substr(md5(source), 1, 10)) AS BIGINT)
+                     % 200000 AS rate_u
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source,
+           {_DOC_HASH_SQL} % 1000000 AS bucket_u, r.rate_u
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_DOC_HASH_SQL} % 1000000 < r.rate_u
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: assign documents to fixed-token-
+    budget bins (context windows) for training.  Documents are sharded by
+    hash with the shard COUNT derived from the corpus size (~1000 docs per
+    shard, via a broadcast 1-row count — no driver action), then packed
+    greedily in hash order within each shard: bin = preceding-cumulative-
+    tokens div budget.
+
+    Scale shape: the only window partitions by shard, and shards grow WITH
+    the data while each shard's row count stays ~constant — per-partition
+    work is bounded at any corpus size (the length_percentiles lesson
+    applied at design time, not as a retrofit)."""
+    budget = 2048
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("_n"))
+    tok = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
+    h = F.expr(_DOC_HASH_SPARK)
+    sharded = (
+        docs.select("doc_id", tok.alias("tok"), h.alias("h_u"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "shard",
+            F.pmod(F.col("h_u"), F.greatest(F.lit(1), F.expr("_n div 1000"))).cast("int"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h_u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sharded.withColumn("cum", F.sum("tok").over(w))
+        .select(
+            "doc_id", "shard", "tok",
+            F.expr(f"(cum - tok) div {budget}").cast("long").alias("bin_id"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = rf"""
+    WITH base AS (
+      SELECT doc_id,
+             len(regexp_extract_all(trim(text), '\S+')) AS tok,
+             {_DOC_HASH_SQL} AS h_u
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, tok, h_u,
+             CAST(h_u % greatest(1, (SELECT count(*) FROM documents) // 1000)
+                  AS INT) AS shard
+      FROM base
+    )
+    SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
+           CAST((sum(tok) OVER (PARTITION BY shard ORDER BY h_u, doc_id
+                                ROWS UNBOUNDED PRECEDING) - tok) // 2048
+                AS BIGINT) AS bin_id
+    FROM sharded
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text-analysis family
 # ---------------------------------------------------------------------------
 
@@ -1457,6 +1590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentiles": q_length_percentiles,
         "promo_revenue": q_promo_revenue,
         "supplier_geography": q_supplier_geography,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1507,6 +1643,9 @@ def oracle_sql() -> dict[str, str]:
         "length_percentiles": SQL_LENGTH_PERCENTILES,
         "promo_revenue": SQL_PROMO_REVENUE,
         "supplier_geography": SQL_SUPPLIER_GEOGRAPHY,
+        "hash_sample": SQL_HASH_SAMPLE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": f"SELECT doc_id, {TX.sql_lang_id()} AS lang_pred FROM documents",
         "quality_score": f"SELECT doc_id, {TX.sql_quality_score()} AS quality_u FROM documents",

@@ -307,3 +307,40 @@ def test_media_features_deterministic(spark, planted_docs):
          for r in MM.extract_features(MM.synth_media(planted_docs)).collect()}
     assert a == b and all(len(v) == 16 for _, v in a)
     assert all(-1000 <= x <= 1000 for _, v in a for x in v)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is deterministic and respects the token budget: within each
+    (shard, bin), total tokens <= budget + the overflowing doc (greedy
+    next-fit semantics); bins are contiguous from 0 per shard."""
+    from crawler_news_spark.queries import q_pack_sequences
+
+    rows = q_pack_sequences(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 500
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r["tok"])
+    budget = 2048
+    for (shard, bin_id), toks in by_bin.items():
+        # greedy next-fit: the bin's PRE-overflow content is under budget
+        assert sum(toks) - max(toks) < budget, (shard, bin_id)
+    shards = {r["shard"] for r in rows}
+    for s in shards:
+        bins = sorted({r["bin_id"] for r in rows if r["shard"] == s})
+        assert bins == list(range(len(bins)))  # contiguous from 0
+    # deterministic: a second run is identical
+    rows2 = q_pack_sequences(spark, "/root/testdata/sf0.01").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_sampling_deterministic_and_stratified(spark):
+    """Hash sampling is run-stable; stratified rates actually differ by
+    source and every kept row obeys its source's rate."""
+    from crawler_news_spark.queries import q_hash_sample, q_stratified_sample
+
+    a = {r["doc_id"] for r in q_hash_sample(spark, "/root/testdata/sf0.01").collect()}
+    b = {r["doc_id"] for r in q_hash_sample(spark, "/root/testdata/sf0.01").collect()}
+    assert a == b and 0 < len(a) < 500
+    rows = q_stratified_sample(spark, "/root/testdata/sf0.01").collect()
+    assert all(r["bucket_u"] < r["rate_u"] for r in rows)
+    assert len({r["rate_u"] for r in rows}) > 1  # rates vary by source
