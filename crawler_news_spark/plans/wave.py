@@ -272,18 +272,33 @@ class WaveCrawl:
             w_pr = Window.partitionBy("host").orderBy(
                 F.desc("priority"), "type_id", "page_no", "link_index"
             )
-            ranked = arts.withColumn("_rk", F.row_number().over(w_pr))
-            take = ranked.filter(F.col("_rk") <= K).drop("_rk")
-            deferred = (
-                ranked.filter(F.col("_rk") > K)
+            # only the TAKE side ranks: a rank<=K filter plans as a
+            # WindowGroupLimit (per-map-task partial top-K BEFORE the
+            # exchange), so at most K rows per host per task shuffle.  The
+            # deferred side previously read rank>K from the same window,
+            # which CANNOT group-limit and forced a full per-host sort of
+            # the giant host's frontier in one task — the length_percentiles
+            # scale-killer shape.  Deferred now derives by anti-join on the
+            # (wave-unique) canonical_hash of the taken rows instead.
+            take = (
+                arts.withColumn("_rk", F.row_number().over(w_pr))
+                .filter(F.col("_rk") <= K)
                 .drop("_rk")
+            ).cache()
+            deferred = (
+                arts.join(
+                    take.select("canonical_hash"), "canonical_hash", "left_anti"
+                )
                 .withColumn("wave", F.lit(wave + 1))
             ).cache()
-            n_deferred = deferred.count()
+            n_deferred = deferred.count()  # also materializes the take cache
             if n_deferred == 0:
                 deferred.unpersist()
                 deferred = None
+            budget_take = take
             frontier = frontier.filter(F.col("kind") == "listing").unionByName(take)
+        else:
+            budget_take = None
 
         scheduled, new_clock_df, totals, art_sched_counts = pol.schedule_wave(
             frontier, self.delay_dim, clock_df
@@ -491,6 +506,8 @@ class WaveCrawl:
             cat.write("frontier", wave + 1, next_frontier, parts)
         if deferred is not None:
             deferred.unpersist()
+        if budget_take is not None:
+            budget_take.unpersist()
 
         # ---------- seen-filter delta update (skipped when nothing new) ----------
         # NB: only the pure-new rows go into the filter — injected rows were
