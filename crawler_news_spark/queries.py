@@ -1561,6 +1561,291 @@ def q_crawl_flagship(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus-build flagship: crawl -> training corpus, end to end
+# ---------------------------------------------------------------------------
+
+# Stage thresholds, tuned on the corpus_web distributions (BENCH.md §8):
+# each stage must remove a non-trivial slice without emptying the corpus.
+CB_BENCH_MOD = 20  # 1/20 docs are the held-out eval set
+CB_MIN_WORDS = 26  # drops the ~5% shortest bodies
+CB_MIN_QUALITY_U = 280_000  # drops the ~5% lowest-quality bodies
+CB_MAX_DUP3_U = 100_000  # Gopher-style repetition ceiling (10%)
+CB_JACCARD_U = 400_000  # near-dup threshold (syndicated copies are ~0.85+)
+CB_MIN_SHARED = 10  # distinct shared 5-grams = contaminated (wire copies
+#                     of eval docs share >= 39; unrelated docs share 0)
+CB_PACK_BUDGET = 2048  # tokens per packed context window
+CB_DOCS_PER_SHARD = 100  # pack-shard granularity (per-shard work bound)
+
+
+def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
+    """The end-to-end training-corpus pipeline, one DataFrame per stage.
+
+    Crawl the syndicated web (hostsim.corpus_web — the reference's 34-site
+    crawl surface plus wire-service republication), then:
+
+      body          assemble per-document text from the text spans
+      bench/corpus  deterministic eval-set split (md5 bucket mod 20)
+      quality       Gopher-style gate: length + composite quality + dup-3gram
+      exact         exact dedup (keep min doc_id per md5 body)
+      near-dup      MinHash+LSH near-dup removal (drop doc_b of each pair)
+      decontaminate drop corpus docs sharing >=10 word-5-grams with the
+                    eval set (GPT-3/PaLM-style report decontamination)
+      pack          hash-sharded greedy sequence packing into 2048-token bins
+
+    Every intermediate is a pure DataFrame: the composed plan is one lineage
+    from the crawl frontier to the packed corpus — the integration seam the
+    per-stage registry queries cannot cover individually.  The DuckDB twin
+    (_sql_corpus_build) replays every stage in ANSI SQL over the
+    independently-exported py-oracle span table.
+
+    Scale shape: quality/exact/pack are the proven per-stage plans; the
+    near-dup stage is the bucketed LSH pipeline (nothing all-pairs); the
+    decontamination gram table broadcasts (the eval set is tiny relative to
+    the corpus at any scale).
+    """
+    import tempfile
+
+    from .plans.wave import CrawlRunConfig, WaveCrawl
+    from .sources import hostsim as hs
+
+    web = web or hs.corpus_web()
+    root = tempfile.mkdtemp(prefix="corpus_cat_")
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    wc.run()
+    body = wc.documents_df().select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    tagged = body.withColumn("h_u", F.expr(_DOC_HASH_SPARK))
+    bench = tagged.filter(F.col("h_u") % CB_BENCH_MOD == 0).select("doc_id", "text")
+    corpus0 = tagged.filter(F.col("h_u") % CB_BENCH_MOD != 0).select("doc_id", "text")
+
+    staged = corpus0.withColumn(
+        "_w", F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    )
+    corpus1 = staged.filter(
+        (F.size("_w") >= CB_MIN_WORDS)
+        & (TX.quality_score(F.col("text")) >= CB_MIN_QUALITY_U)
+        & (TX.dup_ngram_frac_u(F.lit(""), 3, tokens=F.col("_w")) <= CB_MAX_DUP3_U)
+    ).select("doc_id", "text")
+
+    corpus2 = (
+        corpus1.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
+    )
+
+    pairs = DD.minhash_near_dups(corpus2, threshold_u=CB_JACCARD_U)
+    near_drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    corpus3 = corpus2.join(near_drops, "doc_id", "left_anti")
+
+    # eval-set grams broadcast; join on the 8-byte xxhash64 with an exact-
+    # string verify (the q_decontaminate collision guard)
+    bench_grams = (
+        _word_ngrams(bench, 5)
+        .select("g")
+        .distinct()
+        .select(F.xxhash64("g").alias("gh"), F.col("g").alias("g_b"))
+    )
+    cgrams = _word_ngrams(corpus3, 5).withColumn("gh", F.xxhash64("g"))
+    contaminated = (
+        cgrams.join(F.broadcast(bench_grams), "gh")
+        .filter(F.col("g") == F.col("g_b"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CB_MIN_SHARED)
+        .select("doc_id")
+    )
+    corpus4 = corpus3.join(contaminated, "doc_id", "left_anti")
+
+    n = corpus4.agg(F.count("*").alias("_n"))
+    tok = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
+    sharded = (
+        corpus4.select("doc_id", tok.alias("tok"), F.expr(_DOC_HASH_SPARK).alias("h_u"))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.col("h_u"),
+                F.greatest(F.lit(1), F.expr(f"_n div {CB_DOCS_PER_SHARD}")),
+            ).cast("int"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h_u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        sharded.withColumn("cum", F.sum("tok").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            F.col("tok").cast("long").alias("tok"),
+            F.expr(f"(cum - tok) div {CB_PACK_BUDGET}").cast("long").alias("bin_id"),
+        )
+    )
+    return {
+        "body": tagged,
+        "bench": bench,
+        "corpus_raw": corpus0,
+        "corpus_quality": corpus1,
+        "corpus_exact": corpus2,
+        "near_dup_pairs": pairs,
+        "corpus_neardup": corpus3,
+        "contaminated": contaminated,
+        "corpus_clean": corpus4,
+        "packed": packed,
+    }
+
+
+def q_corpus_build(spark, sf_dir):
+    """End-to-end corpus build over the syndicated crawl (sf-independent)."""
+    return corpus_build_stages(spark)["packed"]
+
+
+def _sql_corpus_build() -> str:
+    """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
+    span export (scripts/export_corpus_oracle.py)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
+    if not os.path.exists(path):  # zip-imported package etc.
+        path = "/root/repo/dist/corpus_build_oracle.parquet"
+    doc_hash = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+    sig_cols = ",\n".join(
+        f"        min((u1 + {i} * u2) % {_MH_P}) AS sig{i}" for i in range(DD.N_SIGS)
+    )
+    return rf"""
+    WITH spans AS (
+      SELECT * FROM read_parquet('{path}')
+    ), body AS (
+      SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS text
+      FROM spans WHERE kind = 'text' GROUP BY doc_id
+    ), tagged AS (
+      SELECT doc_id, text, {doc_hash} AS h_u FROM body
+    ), bench AS (
+      SELECT doc_id, text FROM tagged WHERE h_u % {CB_BENCH_MOD} = 0
+    ), corpus0 AS (
+      SELECT doc_id, text FROM tagged WHERE h_u % {CB_BENCH_MOD} != 0
+    ), arr0 AS (
+      SELECT doc_id, text, regexp_extract_all(trim(text), '\S+') AS w FROM corpus0
+    ), rep AS (
+      SELECT a.doc_id, count(*) AS tot, count(DISTINCT a.g) AS dist FROM (
+        SELECT doc_id,
+               w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                 || ' ' || w[CAST(i AS INT) + 2] AS g
+        FROM arr0, unnest(generate_series(1, len(w) - 2)) t(i)
+      ) a GROUP BY a.doc_id
+    ), corpus1 AS (
+      SELECT a.doc_id, a.text FROM arr0 a LEFT JOIN rep r USING (doc_id)
+      WHERE len(a.w) >= {CB_MIN_WORDS}
+        AND {TX.sql_quality_score()} >= {CB_MIN_QUALITY_U}
+        AND coalesce(
+              CAST(floor((1.0 - CAST(r.dist AS DOUBLE) / r.tot) * 1e6 + 0.5)
+                   AS BIGINT), 0) <= {CB_MAX_DUP3_U}
+    ), corpus2 AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM corpus1 GROUP BY md5(text)
+    ), sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+      FROM corpus2,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)
+    ), hsh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 10)) AS BIGINT) % {_MH_P} AS u1,
+             CAST(concat('0x', substr(md5(shingle), 11, 10)) AS BIGINT) % {_MH_P} AS u2
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+{sig_cols}
+      FROM hsh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, sig0 AS v0, sig1 AS v1 FROM sigs
+      UNION ALL SELECT doc_id, 1, sig2, sig3 FROM sigs
+      UNION ALL SELECT doc_id, 2, sig4, sig5 FROM sigs
+      UNION ALL SELECT doc_id, 3, sig6, sig7 FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
+    ), pruned AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+      WHERE (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pruned p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ), neardup AS (
+      SELECT DISTINCT i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(floor(i.n_inter * 1e6 / (sa.sz + sb.sz - i.n_inter) + 0.5)
+                 AS BIGINT) >= {CB_JACCARD_U}
+    ), corpus3 AS (
+      SELECT c.* FROM corpus2 c
+      WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = c.doc_id)
+    ), barr AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM bench
+    ), bgrams AS (
+      SELECT DISTINCT
+             list_aggregate(w[CAST(i AS INT):CAST(i AS INT) + 4],
+                            'string_agg', ' ') AS g
+      FROM barr, unnest(generate_series(1, len(w) - 4)) t(i)
+    ), carr AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM corpus3
+    ), cgrams AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(w[CAST(i AS INT):CAST(i AS INT) + 4],
+                            'string_agg', ' ') AS g
+      FROM carr, unnest(generate_series(1, len(w) - 4)) t(i)
+    ), contam AS (
+      SELECT doc_id FROM cgrams JOIN bgrams USING (g)
+      GROUP BY doc_id HAVING count(*) >= {CB_MIN_SHARED}
+    ), corpus4 AS (
+      SELECT c.* FROM corpus3 c
+      WHERE NOT EXISTS (SELECT 1 FROM contam t WHERE t.doc_id = c.doc_id)
+    ), base AS (
+      SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS tok,
+             {doc_hash} AS h_u
+      FROM corpus4
+    ), sharded AS (
+      SELECT doc_id, tok, h_u,
+             CAST(h_u % greatest(1, (SELECT count(*) FROM corpus4)
+                                    // {CB_DOCS_PER_SHARD}) AS INT) AS shard
+      FROM base
+    )
+    SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
+           CAST((sum(tok) OVER (PARTITION BY shard ORDER BY h_u, doc_id
+                                ROWS UNBOUNDED PRECEDING) - tok)
+                // {CB_PACK_BUDGET} AS BIGINT) AS bin_id
+    FROM sharded
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1615,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
+        "corpus_build": q_corpus_build,
     }
 
 
@@ -1670,4 +1956,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media_features(16),
         "winnow_pairs": _sql_winnow_pairs(20, 1000),
         "crawl_flagship": _sql_crawl_flagship(),
+        "corpus_build": _sql_corpus_build(),
     }

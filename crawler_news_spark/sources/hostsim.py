@@ -21,6 +21,7 @@ Site shapes mirror the reference's observed behaviors
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import struct
 from dataclasses import dataclass
@@ -272,6 +273,11 @@ class WebConfig:
     # fetch+parse compute dominates per-wave fixed overhead as it does in
     # production)
     page_weight: int = 1
+    # wire syndication (corpus-build fixture; 0 = off, the default — every
+    # pre-existing web is unchanged): 1/syndication_mod articles carry one of
+    # `wire_stories` shared agency bodies; see article_fields
+    syndication_mod: int = 0
+    wire_stories: int = 24
 
     def spec(self, host: str) -> HostSpec:
         return self._by_host[host]
@@ -381,6 +387,17 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
                  max_depth=s(2), crawl_delay_s=1.0),
     )
     return WebConfig(seed=seed, hosts=hosts, page_weight=page_weight)
+
+
+def corpus_web(seed: int = 42, scale: float = 0.5, syndication_mod: int = 3,
+               wire_stories: int = 24) -> WebConfig:
+    """The corpus-build fixture: the standard web plus wire syndication, so
+    the crawl output genuinely contains the exact- and near-duplicates (and
+    eval-set contamination) that a training-corpus pipeline must remove."""
+    base = default_web(seed=seed, scale=scale)
+    return dataclasses.replace(
+        base, syndication_mod=syndication_mod, wire_stories=wire_stories
+    )
 
 
 def bench_web(seed: int = 7, n_hosts: int = 4, types_per_host: int = 512,
@@ -875,6 +892,31 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
         f"Đoạn {i}: {_sentence(cfg, f'para|{cu}|{i}', 8 + (h >> i) % 10)}."
         for i in range(n_paras)
     ]
+    # Wire syndication (off by default — syndication_mod=0 keeps every web,
+    # including the flagship default_web, byte-identical): 1/mod articles
+    # republish one of `wire_stories` shared wire bodies, the way real news
+    # sites run agency copy.  Body text is keyed by the WIRE id, not the
+    # article URL, so the same story crawled on different hosts yields
+    # byte-identical paragraphs; 2/3 of republications append one local
+    # editorial note, producing high-Jaccard NEAR-duplicates instead.
+    # Title/desc/author/date/images stay host-local (republishers re-chrome).
+    if cfg.syndication_mod and h % cfg.syndication_mod == 0:
+        # decision bits are taken from DISJOINT hash windows: the gate uses
+        # h mod m, wire/branch use h>>4 and h>>8 — reusing the low bits
+        # would correlate the choices (gate mod 3 + branch mod 3 = every
+        # syndicated doc an exact copy)
+        wire = (h >> 4) % max(1, cfg.wire_stories)
+        hw = stable_hash(f"wire|{wire}", cfg.seed)
+        n_paras = cfg.page_weight * (3 + hw % 4)
+        paras = [
+            f"Đoạn {i}: {_sentence(cfg, f'wire|{wire}|{i}', 8 + (hw >> i) % 10)}."
+            for i in range(n_paras)
+        ]
+        if (h >> 8) % 3 != 0:
+            paras = paras + [
+                f"Đoạn {n_paras}: {_sentence(cfg, f'localnote|{cu}', 10)}."
+            ]
+            n_paras += 1
     author = _AUTHORS[h % len(_AUTHORS)]
     # images interleaved after paragraph positions determined by hash
     n_imgs = h % 4  # 0..3 images
