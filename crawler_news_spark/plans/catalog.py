@@ -28,6 +28,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the snapshot pointer moved between a
+    writer's read and its commit (Iceberg ``CommitFailedException``).  The
+    caller's retry loop re-reads the pointer and re-attempts."""
+
+
 class CrawlCatalog:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
@@ -46,9 +52,27 @@ class CrawlCatalog:
         with open(self._manifest_path) as f:
             return json.load(f)
 
-    def commit_wave(self, wave: int, stats: dict) -> None:
-        """Atomically mark ``wave`` complete (write-temp + rename)."""
+    def commit_wave(self, wave: int, stats: dict,
+                    expected_last: int | None = None) -> None:
+        """Atomically mark ``wave`` complete (write-temp + rename).
+
+        ``expected_last`` turns the commit into a compare-and-swap: if the
+        pointer moved since the writer read it (another writer committed
+        first), raise CommitConflictError instead of clobbering — Iceberg's
+        optimistic-concurrency contract.  The caller re-reads the pointer,
+        re-resolves its snapshot, and retries (see
+        tests/test_catalog_contract.py::test_concurrent_commit_conflict).
+        The default (None) is the single-writer wave loop's unconditional
+        commit.  Cross-process CAS atomicity is the production catalog's job
+        (Iceberg does it in the metastore swap); in-process the wave loop is
+        single-threaded at the commit point.
+        """
         m = self.read_manifest()
+        if expected_last is not None and m["last_wave"] != expected_last:
+            raise CommitConflictError(
+                f"snapshot pointer moved: expected last_wave={expected_last}, "
+                f"found {m['last_wave']}"
+            )
         m["last_wave"] = wave
         m["waves"][str(wave)] = stats
         tmp = self._manifest_path + ".tmp"
@@ -141,12 +165,82 @@ class CrawlCatalog:
         dirs = self._committed_dirs(table, upto)
         return max((w for w, _t, _p in dirs), default=None)
 
-    def read_upto(self, table: str, upto_wave: int) -> DataFrame | None:
-        """Union of all committed snapshots <= upto_wave (directory-pruned)."""
+    def read_upto(self, table: str, upto_wave: int,
+                  merge_schema: bool = False) -> DataFrame | None:
+        """Union of all committed snapshots <= upto_wave (directory-pruned).
+
+        ``merge_schema=True`` is the schema-evolution read: snapshots written
+        before an add-column evolution are read with NULL for the new columns
+        (Iceberg resolves this from table metadata; the parquet stand-in pays
+        one footer-merge pass).  The wave loop's hot-path reads keep the
+        default — their schemas are fixed per table.
+        """
         dirs = [p for _w, _t, p in self._committed_dirs(table, upto_wave)]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
+
+    # ---- maintenance (Iceberg expire_snapshots / rewrite_data_files) ------
+
+    def compact(self, table: str, upto: int, parts: int | None = 1,
+                merge_schema: bool = False) -> int:
+        """Consolidate every committed snapshot <= ``upto`` into ONE snapshot
+        at slot ``upto`` — rewrite_data_files followed by expire_snapshots.
+
+        Post-conditions (the contract the jar swap preserves):
+        - a current/time-travel read at >= upto returns identical rows;
+        - time travel to waves < upto is expired (returns None);
+        - the small-file count collapses to ``parts``.
+
+        The consolidated snapshot is fully written (with _SUCCESS) BEFORE any
+        source dir is removed; a crash mid-cleanup leaves extra committed
+        source dirs alongside ``_compacting`` debris, which ``compact`` can
+        simply re-run (it is idempotent over the union).  Real Iceberg makes
+        the swap atomic in the metadata layer.
+        """
+        import shutil as _sh
+
+        dirs = self._committed_dirs(table, upto)
+        if not dirs:
+            return 0
+        df = self.read_upto(table, upto, merge_schema=merge_schema)
+        if parts is not None:
+            df = df.coalesce(parts)
+        tmp = os.path.join(self.root, table, "_compacting")
+        df.write.mode("overwrite").parquet(tmp)
+        for _w, _t, p in dirs:
+            _sh.rmtree(p)
+        os.rename(tmp, self._dir(table, upto))
+        return len(dirs)
+
+    def expire_state(self, table: str, upto: int) -> int:
+        """Expire superseded generations of an overwrite/state table: keep
+        only the NEWEST committed snapshot <= upto (the one
+        read_latest_state returns); delete the rest.  Iceberg
+        expire_snapshots on an overwrite table — old full generations are
+        unreferenced by the current snapshot and reclaimable."""
+        import shutil as _sh
+
+        dirs = self._committed_dirs(table, upto)
+        if len(dirs) <= 1:
+            return 0
+
+        def order(d: tuple[int, str | None, str]):
+            w, tag, _p = d
+            if tag is None:
+                return (w, 1, 0)
+            return (w, 0, int(tag.removeprefix("inj") or 0) if tag.startswith("inj") else 0)
+
+        keep = max(dirs, key=order)[2]
+        n = 0
+        for _w, _t, p in dirs:
+            if p != keep:
+                _sh.rmtree(p)
+                n += 1
+        return n
 
     def read_latest_state(self, table: str, upto: int) -> DataFrame | None:
         """The single *newest* committed snapshot <= upto — for state tables

@@ -54,7 +54,13 @@ def main() -> int:
 
     from crawler_news_spark.queries import oracle_sql, queries
 
-    wanted = sys.argv[1:]
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    wanted = argv
     qs, osql = queries(), oracle_sql()
     names = wanted or [n for n in qs if n in osql]
 
@@ -113,6 +119,9 @@ def main() -> int:
         print(f"[{flag}] {name}: {json.dumps(res, default=str)[:300]}")
 
     print(f"\n{len(names) - n_bad}/{len(names)} green")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "results": out}, f, indent=1, default=str)
     spark.stop()
     return 1 if n_bad else 0
 

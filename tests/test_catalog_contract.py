@@ -15,6 +15,10 @@ replacing the body of write/read_* with ``writeTo(...).append()`` /
 | read_upto(t, w)         | time-travel read at snapshot w                |
 | read_latest_state(t, w) | current-snapshot read of an overwrite table   |
 | prune_uncommitted()     | orphan-file cleanup after a failed commit     |
+| read_upto(merge_schema) | metadata-resolved schema-evolution read       |
+| compact(t, w)           | rewrite_data_files + expire_snapshots         |
+| expire_state(t, w)      | expire_snapshots on an overwrite table        |
+| commit_wave(expected_last=..) | optimistic CAS commit (CommitFailedException) |
 """
 
 import json
@@ -124,6 +128,93 @@ def test_injected_prewrites_survive_crash_of_next_wave(spark, cat):
     assert os.path.isdir(os.path.join(cat.root, "frontier", f"wave-1-{tag}"))
     assert not os.path.isdir(os.path.join(cat.root, "articles", "wave-1"))
     assert _rows(cat.read_wave("frontier", 1)) == [(5, "injected")]
+
+
+def test_schema_evolution_add_column(spark, cat):
+    """Iceberg add-column evolution: snapshots written before the evolution
+    are read with NULL for the new column; old columns are untouched.  The
+    merge_schema read is the stand-in for Iceberg's metadata-resolved
+    schema."""
+    cat.write("t", 0, _df(spark, [(1, "a")]), parts=1)
+    cat.commit_wave(0, {})
+    evolved = spark.createDataFrame([(2, "b", 9)], "k int, v string, extra int")
+    cat.write("t", 1, evolved, parts=1)
+    cat.commit_wave(1, {})
+    got = cat.read_upto("t", 1, merge_schema=True)
+    assert set(got.columns) == {"k", "v", "extra"}
+    assert _rows(got.select("k", "v", "extra")) == [(1, "a", None), (2, "b", 9)]
+    # time travel to the pre-evolution snapshot still sees the old schema
+    assert cat.read_upto("t", 0).columns == ["k", "v"]
+
+
+def test_compaction_preserves_current_expires_history(spark, cat):
+    """rewrite_data_files + expire_snapshots: after compact(upto=2) the
+    current read is row-identical and single-snapshot; time travel below the
+    expiry horizon returns None; later appends stack on top normally."""
+    for w, rows in enumerate([[(1, "a")], [(2, "b")], [(3, "c")]]):
+        cat.write("t", w, _df(spark, rows), parts=1)
+        cat.commit_wave(w, {})
+    before = _rows(cat.read_upto("t", 2))
+    n = cat.compact("t", 2)
+    assert n == 3
+    assert _rows(cat.read_upto("t", 2)) == before
+    assert cat.latest_wave_of("t", 2) == 2  # one consolidated snapshot
+    assert cat.read_upto("t", 1) is None  # history below horizon expired
+    assert not os.path.isdir(os.path.join(cat.root, "t", "_compacting"))
+    # appends after compaction stack on the consolidated snapshot
+    cat.write("t", 3, _df(spark, [(4, "d")]), parts=1)
+    cat.commit_wave(3, {})
+    assert _rows(cat.read_upto("t", 3)) == before + [(4, "d")]
+
+
+def test_compaction_is_idempotent_after_partial_cleanup(spark, cat):
+    """A compact re-run over whatever committed dirs remain (the documented
+    crash-mid-cleanup recovery) converges to the same single snapshot."""
+    for w, rows in enumerate([[(1, "a")], [(2, "b")]]):
+        cat.write("t", w, _df(spark, rows), parts=1)
+        cat.commit_wave(w, {})
+    before = _rows(cat.read_upto("t", 1))
+    assert cat.compact("t", 1) == 2
+    assert cat.compact("t", 1) == 1  # re-run: consolidates the single dir
+    assert _rows(cat.read_upto("t", 1)) == before
+
+
+def test_state_expiry_keeps_only_current_generation(spark, cat):
+    """expire_snapshots on an overwrite table: superseded full generations
+    are reclaimed; the current-snapshot read is unchanged."""
+    cat.write("bloom", 0, _df(spark, [(1, "gen0")]), parts=1)
+    cat.commit_wave(0, {})
+    cat.write("bloom", 1, _df(spark, [(1, "gen1")]), parts=1)
+    cat.commit_wave(1, {})
+    cat.write("bloom", 3, _df(spark, [(1, "gen3")]), parts=1)
+    cat.commit_wave(3, {})
+    assert cat.expire_state("bloom", 3) == 2
+    assert _rows(cat.read_latest_state("bloom", 3)) == [(1, "gen3")]
+    # the expired generations are physically gone (time travel below the
+    # horizon is forfeited — that is what expiry means)
+    assert cat.read_latest_state("bloom", 1) is None
+
+
+def test_concurrent_commit_conflict_and_retry(spark, cat):
+    """Optimistic concurrency (Iceberg CommitFailedException): two writers
+    both read last_wave=0 and race; the loser's CAS commit raises, and its
+    retry loop re-reads the pointer and lands on the next slot."""
+    from crawler_news_spark.plans.catalog import CommitConflictError
+
+    cat.write("t", 0, _df(spark, [(1, "base")]), parts=1)
+    cat.commit_wave(0, {})
+    seen_a = seen_b = cat.last_wave()  # both writers read the pointer
+    cat.write("t", 1, _df(spark, [(2, "A")]), parts=1)
+    cat.commit_wave(1, {"writer": "A"}, expected_last=seen_a)  # A wins
+    # B prepared wave 1 too; its CAS must fail, not clobber A
+    with pytest.raises(CommitConflictError):
+        cat.commit_wave(1, {"writer": "B"}, expected_last=seen_b)
+    assert cat.read_manifest()["waves"]["1"] == {"writer": "A"}
+    # B's retry: re-read pointer, re-target the next snapshot slot
+    seen_b = cat.last_wave()
+    cat.write("t", 2, _df(spark, [(3, "B")]), parts=1)
+    cat.commit_wave(2, {"writer": "B"}, expected_last=seen_b)
+    assert _rows(cat.read_upto("t", 2)) == [(1, "base"), (2, "A"), (3, "B")]
 
 
 def test_empty_wave_skips_snapshot(spark, cat):
