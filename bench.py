@@ -187,6 +187,11 @@ def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
     if web_kind == "bench":
         web = hs.bench_web(types_per_host=types)
         batch_pages = 17
+    elif web_kind == "skew":
+        # same total taxonomy/frontier as bench_web(types), but host 0 owns
+        # half of it — the skew-resilience comparison row
+        web = hs.skew_bench_web(types_total=4 * types)
+        batch_pages = 17
     else:
         web = hs.default_web(scale=scale)
     root = tempfile.mkdtemp(prefix="bench_cat_")
@@ -221,6 +226,91 @@ def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
     }
 
 
+def run_streaming_bench(spark, seconds: int = 45,
+                        rows_per_sec: int = 100_000) -> dict:
+    """Sustained-load row for the V1/V2 intake surface: a rate source offers
+    ``rows_per_sec`` synthetic crawl requests; each micro-batch runs the full
+    validate -> route -> expand pipeline (streaming/requests.py) with the
+    frontier-append sink counting rows.  Reports the sustained processed
+    rate from the query's own progress metrics, plus a steal probe."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_news_spark.streaming.requests import (
+        requests_to_frontier_rows,
+        route_requests,
+        validate_requests,
+    )
+
+    cats = spark.createDataFrame(
+        [(f"bench{i}.example.vn", t) for i in range(4) for t in range(8)],
+        "host string, type_id int",
+    )
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .option("numPartitions", min(CPUS, 8))
+        .load()
+    )
+    # 1/3 expand requests (fan out to all categories of the host), 2/3
+    # single-article requests — the reference's POST /crawl mix
+    host = F.concat(F.lit("https://bench"), F.col("value") % 4,
+                    F.lit(".example.vn"))
+    reqs = rate.select(
+        F.lit("NEWS").alias("source"),
+        F.lit("GENERAL").alias("action"),
+        F.when(F.col("value") % 3 == 0, F.concat(host, F.lit("/")))
+        .otherwise(
+            F.concat(host, F.lit("/cat/bai-viet-"),
+                     F.format_string("%06d", (F.col("value") % 900000) + 100000),
+                     F.lit(".html"))
+        )
+        .alias("url"),
+    )
+    counts = {"frontier_rows": 0, "input_rows": 0, "batches": 0}
+
+    def batch_fn(df, epoch_id):
+        rows = requests_to_frontier_rows(
+            route_requests(validate_requests(df)), cats
+        )
+        counts["input_rows"] += df.count()
+        counts["frontier_rows"] += rows.count()
+        counts["batches"] += 1
+
+    ckpt = tempfile.mkdtemp(prefix="stream_bench_ckpt_")
+    pre = calibrate_steal()
+    q = (
+        reqs.writeStream.outputMode("append")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    time.sleep(seconds)
+    progress = list(q.recentProgress)
+    q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    post = calibrate_steal()
+    # recentProgress may carry repeated events for a batch — dedupe by id
+    by_batch = {p["batchId"]: p for p in progress}
+    # skip the warmup batches: sustained = the back half of the run
+    rates = [p["processedRowsPerSecond"]
+             for _b, p in sorted(by_batch.items())
+             if p.get("numInputRows", 0) > 0]
+    tail = rates[len(rates) // 2 :] or [0.0]
+    return {
+        "offered_rows_per_sec": rows_per_sec,
+        "sustained_rows_per_sec": round(sum(tail) / len(tail), 1),
+        "input_rows": counts["input_rows"],
+        "frontier_rows": counts["frontier_rows"],
+        "batches": counts["batches"],
+        "seconds": seconds,
+        "calibration_pre": pre,
+        "calibration_post": post,
+    }
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from crawler_news_spark import queries as Q
 
@@ -243,14 +333,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--streaming", action="store_true",
+                    help="sustained-load row for the streaming intake")
+    ap.add_argument("--stream-rate", type=int, default=100_000)
+    ap.add_argument("--stream-seconds", type=int, default=45)
     ap.add_argument("--crawl-scale", type=float, default=4.0)
-    ap.add_argument("--web", default="default", choices=["default", "bench"])
+    ap.add_argument("--web", default="default",
+                    choices=["default", "bench", "skew"])
     ap.add_argument("--types", type=int, default=256)
     ap.add_argument("--scaling-n", type=int, default=2,
                     help="N for the N vs 4N scaling pair (this VM's "
                          "hypervisor caps perfect CPU scaling at 8->32 to "
                          "~0.69, see BENCH.md calibration; 2->8 allows 0.94)")
     args = ap.parse_args()
+
+    if args.streaming:
+        spark = make_spark()
+        res = run_streaming_bench(spark, seconds=args.stream_seconds,
+                                  rows_per_sec=args.stream_rate)
+        print(json.dumps(res))
+        spark.stop()
+        return
 
     if args.crawl_only:
         spark = make_spark()

@@ -419,6 +419,31 @@ def bench_web(seed: int = 7, n_hosts: int = 4, types_per_host: int = 512,
     return WebConfig(seed=seed, hosts=specs, page_weight=page_weight)
 
 
+def skew_bench_web(seed: int = 7, n_hosts: int = 4, types_total: int = 1024,
+                   giant_frac: float = 0.5, depth: int = 16, links: int = 16,
+                   page_weight: int = 48) -> WebConfig:
+    """Pathological-skew throughput web: same TOTAL taxonomy (and therefore
+    the same frontier size) as bench_web(types_per_host=types_total/n_hosts),
+    but one host owns ``giant_frac`` of it — the worst real-world shape
+    (vnexpress's 71 categories vs vietnamnet's 16, amplified to 50%).  Used
+    by ``bench.py --web skew`` to prove the budget anti-join + salted
+    politeness hold throughput near the uniform case."""
+    giant = int(types_total * giant_frac)
+    rest = (types_total - giant) // (n_hosts - 1)
+    specs = tuple(
+        HostSpec(
+            f"bench{i}.example.vn",
+            PROFILES[i % len(PROFILES)],
+            n_types=giant if i == 0 else rest,
+            links_per_page=links,
+            max_depth=depth,
+            crawl_delay_s=0.5,
+        )
+        for i in range(n_hosts)
+    )
+    return WebConfig(seed=seed, hosts=specs, page_weight=page_weight)
+
+
 def skewed_web(seed: int = 7, giant_types: int = 40, giant_depth: int = 12) -> WebConfig:
     """A web where one host dominates the frontier ~100x — the skew fixture."""
     hosts = (

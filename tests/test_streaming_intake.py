@@ -107,6 +107,69 @@ def test_file_stream_intake(spark, categories, tmp_path):
     assert kinds == [("article", "h2.vn"), ("listing", "h1.vn"), ("listing", "h1.vn")]
 
 
+def test_exactly_once_frontier_appends_across_restart(spark, categories, tmp_path):
+    """Exactly-once frontier appends across a mid-stream crash + restart.
+
+    foreachBatch is at-least-once: a batch whose sink dies before the
+    checkpoint commit is REPLAYED with the same epoch id on restart.  The
+    frontier append is made idempotent by keying the write on the epoch
+    (exactly the catalog's write(table, wave) overwrite-a-slot semantics),
+    so replay overwrites its own partial output instead of duplicating —
+    and already-committed files are never re-read.  Net: every request row
+    lands in the frontier exactly once, crash or no crash.
+    """
+    req_dir = str(tmp_path / "req")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "frontier")
+    os.makedirs(req_dir)
+
+    def write_reqs(name, urls):
+        with open(os.path.join(req_dir, name), "w") as f:
+            for u in urls:
+                f.write(json.dumps(
+                    {"source": "NEWS", "action": "GENERAL", "url": u}) + "\n")
+
+    write_reqs("a.json", ["https://h2.vn/c/bai-1111111.html", "https://h1.vn"])
+    state = {"fail_next": False, "epochs": []}
+
+    def sink(df, epoch_id):
+        if state["fail_next"]:
+            state["fail_next"] = False
+            raise RuntimeError("injected sink crash before commit")
+        df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
+        state["epochs"].append(epoch_id)
+
+    q = run_intake_stream(spark, req_dir, categories, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert state["epochs"] == [0]
+
+    # a new request file arrives; its first processing attempt crashes in
+    # the sink BEFORE the epoch commits
+    write_reqs("b.json", ["https://h1.vn/x/bai-2222222.html"])
+    state["fail_next"] = True
+    q = run_intake_stream(spark, req_dir, categories, sink, ckpt)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert state["epochs"] == [0]  # nothing committed by the crashed attempt
+
+    # restart: the failed epoch replays (same id); a.json is NOT re-read
+    q = run_intake_stream(spark, req_dir, categories, sink, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert state["epochs"] == [0, 1]
+
+    got = spark.read.parquet(out).collect()
+    urls = sorted(r["url"] for r in got)
+    assert urls == [
+        "https://h1.vn",  # expanded to 2 categories
+        "https://h1.vn",
+        "https://h1.vn/x/bai-2222222.html",
+        "https://h2.vn/c/bai-1111111.html",
+    ]
+
+
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window agg: streaming result == batch twin on
     the same rows; the plan actually carries the event-time watermark."""
