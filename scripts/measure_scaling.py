@@ -74,17 +74,21 @@ def main() -> None:
     thr = args.threshold if args.threshold is not None else (
         0.93 if args.n == 2 else 0.62)
 
-    t_start, c = time.time(), None
+    # a ceiling > ~1 means the window CHANGED between the two probe legs
+    # (the baseline cancels out of the ratio) — that is drift, not headroom;
+    # require two consecutive in-band probes before firing
+    t_start, c, streak = time.time(), None, 0
     while True:
         c = ceiling(args.n)
         print(f"probe: {json.dumps(c)}", flush=True)
-        if c["ceiling"] >= thr:
+        streak = streak + 1 if thr <= c["ceiling"] <= 1.08 else 0
+        if streak >= 2:
             break
         if time.time() - t_start > args.max_wait:
             print("max-wait reached; firing in the best window seen anyway",
                   flush=True)
             break
-        time.sleep(60)
+        time.sleep(45)
 
     pre = c
     r_n = leg(args.n, args.types)
