@@ -176,16 +176,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return narrow.mapInPandas(gen, schema)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        rows_per_band: int = 2) -> DataFrame:
-    """Banded LSH: docs sharing any band (all ``rows_per_band`` raw sig
-    values) become candidate pairs (a<b).
-
-    The self-join is keyed on (band, v0..v{r-1}) — a shuffle join on a
-    high-cardinality key, NOT an O(n^2) cross join.  Band keys are the raw
-    long signatures (every signature in the band participates — the LSH
-    band probability s^r depends on it); no re-hash needed.
-    """
+def _band_table(sigs: DataFrame, id_col: str,
+                rows_per_band: int) -> tuple[DataFrame, list[str]]:
+    """(id, band, v0..v{r-1}) — one row per LSH band per document."""
     if N_SIGS % rows_per_band:
         raise ValueError(f"rows_per_band={rows_per_band} must divide N_SIGS={N_SIGS}")
     n_bands = N_SIGS // rows_per_band
@@ -207,6 +200,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", *[f"bb.{v}" for v in vcols])
+    return bands, vcols
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band (all ``rows_per_band`` raw sig
+    values) become candidate pairs (a<b).
+
+    The self-join is keyed on (band, v0..v{r-1}) — a shuffle join on a
+    high-cardinality key, NOT an O(n^2) cross join.  Band keys are the raw
+    long signatures (every signature in the band participates — the LSH
+    band probability s^r depends on it); no re-hash needed.
+    """
+    bands, vcols = _band_table(sigs, id_col, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -217,6 +224,53 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         )
         .distinct()
     )
+
+
+def lsh_cross_pairs(sigs_new: DataFrame, sigs_old: DataFrame,
+                    id_col: str = "doc_id",
+                    rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH between a NEW batch and an EXISTING corpus — the
+    incremental-ingest shape (daily corpus refresh): candidates are
+    (doc_a=new, doc_b=old) pairs sharing any band.  Same high-cardinality
+    shuffle join as the self-join; the existing corpus is never
+    self-joined, so the cost scales with the BATCH, not the corpus."""
+    ba, vcols = _band_table(sigs_new, id_col, rows_per_band)
+    bb, _ = _band_table(sigs_old, id_col, rows_per_band)
+    return (
+        ba.alias("a").join(bb.alias("b"), ["band", *vcols])
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_cross_near_dups(new_docs: DataFrame, old_docs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            threshold_u: int = 500_000,
+                            min_sig_matches: int = 3) -> DataFrame:
+    """Near-dups of a new batch AGAINST an existing corpus: signatures for
+    both sides, banded cross-LSH, estimate prune, exact-Jaccard verify.
+    Returns (doc_a=new, doc_b=old, n_inter, jaccard_u) at >= threshold.
+
+    The prune/verify stages are the self-join pipeline's, fed a union of
+    the two (disjoint-id) sides — candidates are only ever new x old."""
+    from . import _cache
+
+    sigs_new = _cache.claim(
+        "minhash_cross.sigs_new", minhash_signatures(new_docs, text_col, id_col)
+    )
+    sigs_old = _cache.claim(
+        "minhash_cross.sigs_old", minhash_signatures(old_docs, text_col, id_col)
+    )
+    pairs = lsh_cross_pairs(sigs_new, sigs_old, id_col)
+    all_sigs = sigs_new.unionByName(sigs_old)
+    pruned = sig_estimate_prune(pairs, all_sigs, id_col, min_sig_matches)
+    all_docs = new_docs.select(id_col, text_col).unionByName(
+        old_docs.select(id_col, text_col)
+    )
+    jac = exact_jaccard_on_pairs(pruned, all_docs, text_col, id_col)
+    return jac.filter(F.col("jaccard_u") >= threshold_u)
 
 
 def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id",

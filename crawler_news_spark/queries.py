@@ -1711,6 +1711,184 @@ def q_corpus_build(spark, sf_dir):
     return corpus_build_stages(spark)["packed"]
 
 
+def corpus_update_stages(spark, web=None) -> dict[str, DataFrame]:
+    """Incremental corpus ingest (the daily refresh): the syndicated crawl
+    is split by document hash into an EXISTING corpus (2/3, exact-deduped)
+    and an INCOMING day-2 batch (1/3).  An incoming document is accepted iff
+
+      1. it is not an exact duplicate within its own batch (keep-min),
+      2. its fingerprint does not match any existing-corpus document
+         (broadcast-able anti-join on md5), and
+      3. it is not a MinHash near-duplicate of any existing document —
+         the banded CROSS-LSH join (operators/dedup.py lsh_cross_pairs):
+         new x old only, the existing corpus is never self-joined, so the
+         incremental cost scales with the batch, not the corpus.
+
+    Wire syndication guarantees both cross-exact and cross-near duplicates
+    exist across the split (copies of one wire story land on both sides).
+    """
+    import tempfile
+
+    from .plans.wave import CrawlRunConfig, WaveCrawl
+    from .sources import hostsim as hs
+
+    web = web or hs.corpus_web()
+    root = tempfile.mkdtemp(prefix="corpus_upd_")
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    wc.run()
+    body = wc.documents_df().select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    tagged = body.withColumn("h_u", F.expr(_DOC_HASH_SPARK))
+    day1 = tagged.filter(F.col("h_u") % 3 != 0).select("doc_id", "text")
+    day2 = tagged.filter(F.col("h_u") % 3 == 0).select("doc_id", "text")
+
+    def exact_keep_min(df):
+        return (
+            df.withColumn("_ch", F.md5("text"))
+            .groupBy("_ch")
+            .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+            .select("doc_id", "text")
+        )
+
+    existing = exact_keep_min(day1)
+    incoming = exact_keep_min(day2)
+
+    # cross-exact: fingerprint anti-join (the corpus fingerprint table is
+    # skinny — 32 bytes + id per doc — and partitions on the hash key)
+    incoming2 = (
+        incoming.withColumn("_ch", F.md5("text"))
+        .join(
+            existing.select(F.md5("text").alias("_ch")), "_ch", "left_anti"
+        )
+        .select("doc_id", "text")
+    )
+
+    cross = DD.minhash_cross_near_dups(
+        incoming2, existing, threshold_u=CB_JACCARD_U
+    )
+    near_drops = cross.select(F.col("doc_a").alias("doc_id")).distinct()
+    accepted = incoming2.join(near_drops, "doc_id", "left_anti")
+    tok = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
+    return {
+        "day1": day1,
+        "day2": day2,
+        "existing": existing,
+        "incoming": incoming,
+        "incoming_noexact": incoming2,
+        "cross_pairs": cross,
+        "accepted": accepted.select(
+            "doc_id", tok.cast("long").alias("tok")
+        ),
+    }
+
+
+def q_corpus_update(spark, sf_dir):
+    """Incremental day-2 ingest against the existing corpus (sf-independent)."""
+    return corpus_update_stages(spark)["accepted"]
+
+
+def _sql_corpus_update() -> str:
+    """DuckDB twin of corpus_update over the py-oracle span export."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
+    if not os.path.exists(path):
+        path = "/root/repo/dist/corpus_build_oracle.parquet"
+    doc_hash = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+    sig_cols = ",\n".join(
+        f"        min((u1 + {i} * u2) % {_MH_P}) AS sig{i}" for i in range(DD.N_SIGS)
+    )
+    return rf"""
+    WITH spans AS (
+      SELECT * FROM read_parquet('{path}')
+    ), body AS (
+      SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS text
+      FROM spans WHERE kind = 'text' GROUP BY doc_id
+    ), tagged AS (
+      SELECT doc_id, text, {doc_hash} AS h_u FROM body
+    ), day1 AS (
+      SELECT doc_id, text FROM tagged WHERE h_u % 3 != 0
+    ), day2 AS (
+      SELECT doc_id, text FROM tagged WHERE h_u % 3 = 0
+    ), existing AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM day1 GROUP BY md5(text)
+    ), incoming AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM day2 GROUP BY md5(text)
+    ), incoming2 AS (
+      SELECT n.doc_id, n.text FROM incoming n
+      WHERE NOT EXISTS (SELECT 1 FROM existing o WHERE md5(o.text) = md5(n.text))
+    ), uni AS (
+      SELECT 0 AS side, doc_id, text FROM incoming2
+      UNION ALL SELECT 1 AS side, doc_id, text FROM existing
+    ), sh AS (
+      SELECT DISTINCT side, doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+      FROM uni,
+           unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)
+    ), hsh AS (
+      SELECT side, doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 10)) AS BIGINT) % {_MH_P} AS u1,
+             CAST(concat('0x', substr(md5(shingle), 11, 10)) AS BIGINT) % {_MH_P} AS u2
+      FROM sh
+    ), sigs AS (
+      SELECT side, doc_id,
+{sig_cols}
+      FROM hsh GROUP BY side, doc_id
+    ), bands AS (
+      SELECT side, doc_id, 0 AS band, sig0 AS v0, sig1 AS v1 FROM sigs
+      UNION ALL SELECT side, doc_id, 1, sig2, sig3 FROM sigs
+      UNION ALL SELECT side, doc_id, 2, sig4, sig5 FROM sigs
+      UNION ALL SELECT side, doc_id, 3, sig6, sig7 FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+      WHERE a.side = 0 AND b.side = 1
+    ), pruned AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN sigs sa ON sa.side = 0 AND sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.side = 1 AND sb.doc_id = p.doc_b
+      WHERE (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+           + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pruned p
+      JOIN sh a ON a.side = 0 AND a.doc_id = p.doc_a
+      JOIN sh b ON b.side = 1 AND b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ), neardrop AS (
+      SELECT DISTINCT i.doc_a
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(floor(i.n_inter * 1e6 / (sa.sz + sb.sz - i.n_inter) + 0.5)
+                 AS BIGINT) >= {CB_JACCARD_U}
+    )
+    SELECT n.doc_id,
+           CAST(len(regexp_extract_all(trim(n.text), '\S+')) AS BIGINT) AS tok
+    FROM incoming2 n
+    WHERE NOT EXISTS (SELECT 1 FROM neardrop d WHERE d.doc_a = n.doc_id)
+"""
+
+
 def _sql_corpus_build() -> str:
     """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
     span export (scripts/export_corpus_oracle.py)."""
@@ -1901,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
         "corpus_build": q_corpus_build,
+        "corpus_update": q_corpus_update,
     }
 
 
@@ -1957,4 +2136,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _sql_winnow_pairs(20, 1000),
         "crawl_flagship": _sql_crawl_flagship(),
         "corpus_build": _sql_corpus_build(),
+        "corpus_update": _sql_corpus_update(),
     }

@@ -99,3 +99,31 @@ def test_corpus_build_matches_duckdb_oracle(spark):
     for _, grp in chk.groupby("shard"):
         start = grp["tok"].cumsum() - grp["tok"]
         assert (start // Q.CB_PACK_BUDGET == grp["bin_id"]).all()
+
+
+def test_corpus_update_every_stage_bites(spark):
+    """Incremental day-2 ingest: within-batch exact dedup, cross-exact
+    fingerprint drop, and the cross-LSH near-dup drop each remove rows."""
+    stages = Q.corpus_update_stages(spark)
+    n = {k: stages[k].count() for k in (
+        "day1", "day2", "existing", "incoming", "incoming_noexact", "accepted")}
+    cross = stages["cross_pairs"].count()
+
+    assert n["existing"] < n["day1"]            # wire copies inside day 1
+    assert n["incoming"] < n["day2"]            # within-batch exact dups
+    assert n["incoming_noexact"] < n["incoming"]  # exact copies of existing
+    assert cross > 0                            # cross near-dups found
+    assert n["accepted"] < n["incoming_noexact"]  # near-dups dropped
+    # regression pin on the deterministic fixture
+    assert (n["day2"], n["incoming"], n["incoming_noexact"], n["accepted"]) == \
+        (112, 110, 106, 80)
+
+
+def test_cross_pairs_only_new_vs_old(spark):
+    """lsh_cross_pairs never pairs within a side: doc_a comes from the new
+    batch, doc_b from the existing corpus."""
+    stages = Q.corpus_update_stages(spark)
+    new_ids = {r["doc_id"] for r in stages["incoming_noexact"].collect()}
+    old_ids = {r["doc_id"] for r in stages["existing"].collect()}
+    for r in stages["cross_pairs"].collect():
+        assert r["doc_a"] in new_ids and r["doc_b"] in old_ids
