@@ -2023,6 +2023,183 @@ def _sql_corpus_build() -> str:
 """
 
 
+def _corpus_spans_path() -> str:
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
+    if not os.path.exists(path):
+        path = "/root/repo/dist/corpus_build_oracle.parquet"
+    return path
+
+
+def _corpus_bodies(spark) -> DataFrame:
+    """Per-document bodies of the syndicated-crawl fixture (the deterministic
+    span table exported by scripts/export_corpus_oracle.py — the agreed
+    input table for the line-level corpus operators, like the sf parquet
+    tables are for the relational ones)."""
+    spans = spark.read.parquet(_corpus_spans_path())
+    return (
+        spans.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style line deduplication (Raffel et al. 2020 used three-sentence
+    spans; the unit here is the line = crawl paragraph): across the WHOLE
+    corpus, every duplicated line keeps only its first occurrence (ordered
+    by doc_id, then position) and is dropped everywhere else; documents are
+    reassembled from their surviving lines.
+
+    Scale shape: one window partitioned by the line text (high cardinality
+    — group sizes are the line's duplication count, bounded by corpus
+    duplication, not corpus size) and one hash aggregate to reassemble.
+    Wire-syndicated duplicates make this bite hard: a byte-exact republished
+    article loses every line (clean_hash of the empty string)."""
+    bodies = _corpus_bodies(spark)
+    lines = bodies.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line")
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "idx")
+    flagged = lines.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep") == 1, F.struct("idx", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+
+
+def _sql_line_dedup() -> str:
+    return rf"""
+    WITH body AS (
+      SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS text
+      FROM read_parquet('{_corpus_spans_path()}')
+      WHERE kind = 'text' GROUP BY doc_id
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, l[CAST(i AS INT)] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM body),
+           unnest(generate_series(1, len(l))) t(i)
+    ), flagged AS (
+      SELECT doc_id, idx, line,
+             CASE WHEN row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, idx) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+           md5(coalesce(
+             string_agg(CASE WHEN keep = 1 THEN line END, chr(10)
+                        ORDER BY idx), '')) AS clean_hash
+    FROM flagged GROUP BY doc_id
+"""
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Frequency-based boilerplate removal (the jusText/trafilatura
+    heuristic at corpus level): a line occurring in >= 3 DISTINCT documents
+    is boilerplate (nav, footers — here: syndicated wire paragraphs) and is
+    stripped from EVERY document, first occurrence included (unlike
+    line_dedup's keep-first).
+
+    Scale shape: the line-frequency table is a hash aggregate on the line;
+    the strip is a broadcast-able (at real boilerplate cardinality) or
+    shuffle hash join back to the exploded lines — no window at all."""
+    bodies = _corpus_bodies(spark)
+    lines = bodies.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line")
+    )
+    df_tab = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= 3)
+        .select("line")
+    )
+    kept = lines.join(df_tab, "line", "left_anti")
+    return (
+        lines.groupBy("doc_id").agg(F.count("*").alias("_n_total"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count("*").alias("n_kept"),
+                F.md5(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                            lambda s: s["line"],
+                        ),
+                    )
+                ).alias("clean_hash"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_stripped"),
+            F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
+def _sql_boilerplate_strip() -> str:
+    return rf"""
+    WITH body AS (
+      SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS text
+      FROM read_parquet('{_corpus_spans_path()}')
+      WHERE kind = 'text' GROUP BY doc_id
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, l[CAST(i AS INT)] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM body),
+           unnest(generate_series(1, len(l))) t(i)
+    ), boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3
+    ), kept AS (
+      SELECT ln.* FROM lines ln
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = ln.line)
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_total - coalesce(k.n_kept, 0) AS BIGINT) AS n_stripped,
+           coalesce(k.clean_hash, md5('')) AS clean_hash
+    FROM (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id) t
+    LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2080,6 +2257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_flagship": q_crawl_flagship,
         "corpus_build": q_corpus_build,
         "corpus_update": q_corpus_update,
+        "line_dedup": q_line_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
     }
 
 
@@ -2137,4 +2316,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_flagship": _sql_crawl_flagship(),
         "corpus_build": _sql_corpus_build(),
         "corpus_update": _sql_corpus_update(),
+        "line_dedup": _sql_line_dedup(),
+        "boilerplate_strip": _sql_boilerplate_strip(),
     }

@@ -127,3 +127,40 @@ def test_cross_pairs_only_new_vs_old(spark):
     old_ids = {r["doc_id"] for r in stages["existing"].collect()}
     for r in stages["cross_pairs"].collect():
         assert r["doc_a"] in new_ids and r["doc_b"] in old_ids
+
+
+def test_line_dedup_invariants(spark):
+    """C4-style line dedup: exactly one survivor per distinct line; exact
+    wire copies lose every line (empty clean_hash)."""
+    out = Q.q_line_dedup(spark, "").collect()
+    assert len(out) == 323
+    kept = sum(r["n_kept"] for r in out)
+    dropped = sum(r["n_dropped"] for r in out)
+    assert dropped == 343                      # pinned fixture duplication
+    # distinct lines across the corpus == survivors
+    bodies = Q._corpus_bodies(spark).collect()
+    distinct = len({ln for r in bodies for ln in r["text"].split("\n")})
+    assert kept == distinct
+    import hashlib
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    emptied = [r for r in out if r["n_kept"] == 0]
+    assert emptied and all(r["clean_hash"] == empty_md5 for r in emptied)
+
+
+def test_boilerplate_strip_invariants(spark):
+    """df>=3 lines are stripped EVERYWHERE (no survivors, unlike
+    keep-first line dedup)."""
+    out = {r["doc_id"]: r for r in Q.q_boilerplate_strip(spark, "").collect()}
+    assert len(out) == 323
+    assert sum(r["n_stripped"] for r in out.values()) == 422
+    bodies = Q._corpus_bodies(spark).collect()
+    from collections import Counter
+    df = Counter()
+    for r in bodies:
+        for ln in set(r["text"].split("\n")):
+            df[ln] += 1
+    boiler = {ln for ln, c in df.items() if c >= 3}
+    for r in bodies:
+        lines = r["text"].split("\n")
+        expect_kept = [ln for ln in lines if ln not in boiler]
+        assert out[r["doc_id"]]["n_kept"] == len(expect_kept)
