@@ -1577,6 +1577,39 @@ CB_PACK_BUDGET = 2048  # tokens per packed context window
 CB_DOCS_PER_SHARD = 100  # pack-shard granularity (per-shard work bound)
 
 
+# (applicationId, WebConfig) -> assembled per-doc bodies of a finished crawl.
+# corpus_build and corpus_update crawl the SAME web; within one session the
+# second query reuses the first's crawl (the catalog parquet stays on disk,
+# so the memoized DataFrame remains valid across spark.catalog.clearCache()).
+_CRAWL_BODY_MEMO: dict = {}
+
+
+def _crawled_bodies(spark, web) -> DataFrame:
+    import tempfile
+
+    from .plans.wave import CrawlRunConfig, WaveCrawl
+
+    key = (spark.sparkContext.applicationId, web)
+    if key in _CRAWL_BODY_MEMO:
+        return _CRAWL_BODY_MEMO[key]
+    root = tempfile.mkdtemp(prefix="corpus_cat_")
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    wc.run()
+    body = wc.documents_df().select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    _CRAWL_BODY_MEMO.clear()  # one live crawl per process is plenty
+    _CRAWL_BODY_MEMO[key] = body
+    return body
+
+
 def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
     """The end-to-end training-corpus pipeline, one DataFrame per stage.
 
@@ -1603,25 +1636,10 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
     decontamination gram table broadcasts (the eval set is tiny relative to
     the corpus at any scale).
     """
-    import tempfile
-
-    from .plans.wave import CrawlRunConfig, WaveCrawl
     from .sources import hostsim as hs
 
     web = web or hs.corpus_web()
-    root = tempfile.mkdtemp(prefix="corpus_cat_")
-    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
-    wc.run()
-    body = wc.documents_df().select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-                lambda s: s["text"],
-            ),
-            "\n",
-        ).alias("text"),
-    )
+    body = _crawled_bodies(spark, web)
     tagged = body.withColumn("h_u", F.expr(_DOC_HASH_SPARK))
     bench = tagged.filter(F.col("h_u") % CB_BENCH_MOD == 0).select("doc_id", "text")
     corpus0 = tagged.filter(F.col("h_u") % CB_BENCH_MOD != 0).select("doc_id", "text")
@@ -1727,25 +1745,10 @@ def corpus_update_stages(spark, web=None) -> dict[str, DataFrame]:
     Wire syndication guarantees both cross-exact and cross-near duplicates
     exist across the split (copies of one wire story land on both sides).
     """
-    import tempfile
-
-    from .plans.wave import CrawlRunConfig, WaveCrawl
     from .sources import hostsim as hs
 
     web = web or hs.corpus_web()
-    root = tempfile.mkdtemp(prefix="corpus_upd_")
-    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
-    wc.run()
-    body = wc.documents_df().select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-                lambda s: s["text"],
-            ),
-            "\n",
-        ).alias("text"),
-    )
+    body = _crawled_bodies(spark, web)
     tagged = body.withColumn("h_u", F.expr(_DOC_HASH_SPARK))
     day1 = tagged.filter(F.col("h_u") % 3 != 0).select("doc_id", "text")
     day2 = tagged.filter(F.col("h_u") % 3 == 0).select("doc_id", "text")
