@@ -172,7 +172,8 @@ def warm_tables(spark, sf_dir: str) -> float:
 
 
 def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
-              web_kind: str = "default", types: int = 256) -> dict:
+              web_kind: str = "default", types: int = 256,
+              giant_frac: float = 0.5) -> dict:
     """Deterministic synthetic crawl; returns {n_urls, wall_s, urls_per_sec}.
 
     n_urls counts fetched+parsed pages (listings + articles) — the
@@ -189,8 +190,8 @@ def run_crawl(spark, scale: float = 4.0, batch_pages: int = 16,
         batch_pages = 17
     elif web_kind == "skew":
         # same total taxonomy/frontier as bench_web(types), but host 0 owns
-        # half of it — the skew-resilience comparison row
-        web = hs.skew_bench_web(types_total=4 * types)
+        # giant_frac of it — the skew-resilience comparison row
+        web = hs.skew_bench_web(types_total=4 * types, giant_frac=giant_frac)
         batch_pages = 17
     else:
         web = hs.default_web(scale=scale)
@@ -341,6 +342,7 @@ def main() -> None:
     ap.add_argument("--web", default="default",
                     choices=["default", "bench", "skew"])
     ap.add_argument("--types", type=int, default=256)
+    ap.add_argument("--giant-frac", type=float, default=0.5)
     ap.add_argument("--scaling-n", type=int, default=2,
                     help="N for the N vs 4N scaling pair (this VM's "
                          "hypervisor caps perfect CPU scaling at 8->32 to "
@@ -358,7 +360,7 @@ def main() -> None:
     if args.crawl_only:
         spark = make_spark()
         res = run_crawl(spark, scale=args.crawl_scale, web_kind=args.web,
-                        types=args.types)
+                        types=args.types, giant_frac=args.giant_frac)
         print(json.dumps(res))
         spark.stop()
         return
