@@ -2067,6 +2067,11 @@ def q_line_dedup(spark, sf_dir):
     Scale shape: one window partitioned by the line text (high cardinality
     — group sizes are the line's duplication count, bounded by corpus
     duplication, not corpus size) and one hash aggregate to reassemble.
+    At petabyte scale the production knob is partitioning by a 128-bit
+    line digest instead of the raw text (md5 collisions are negligible at
+    any real corpus size, and the shuffle then carries fixed-width keys);
+    the oracle-exact form here keeps the raw line so the twin is
+    collision-proof by construction.
     Wire-syndicated duplicates make this bite hard: a byte-exact republished
     article loses every line (clean_hash of the empty string)."""
     bodies = _corpus_bodies(spark)
