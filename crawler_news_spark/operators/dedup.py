@@ -371,6 +371,61 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     return jac.filter(F.col("jaccard_u") >= threshold_u)
 
 
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list (doc_a, doc_b) by
+    min-label propagation — the fuzzy-dedup CLUSTERING step: near-dup pairs
+    become groups, and the group representative is the minimum member id.
+
+    Returns (id, component_id) for every node appearing in an edge.
+
+    Iterative join-based propagation, the idiomatic Spark shape: each round
+    every node takes min(own label, neighbors' labels); convergence when no
+    label changes (one count per round; rounds needed = graph diameter —
+    near-dup clusters are star/clique-like, so 2-4 in practice).  Each
+    round's labels are persisted and the previous generation released;
+    ``localCheckpoint`` truncates the logical plan so the lineage does not
+    grow with iterations (on a cluster with an HDFS checkpoint dir,
+    ``checkpoint`` is the fault-tolerant swap-in).  Deterministic — min is
+    order-insensitive — so the DuckDB twin is a recursive CTE computing the
+    min reachable id per node.
+    """
+    sym = edges.select("doc_a", "doc_b").unionByName(
+        edges.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("id")).distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("id").alias("doc_b"), "lab"), "doc_b"
+            )
+            .groupBy("doc_a")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("doc_a", "id")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                (F.coalesce("nlab", "lab") < F.col("lab")).cast("int").alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint()
+        changed = new.agg(F.sum("_chg")).collect()[0][0] or 0
+        new = new.drop("_chg")
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            return labels.select("id", F.col("lab").alias("component_id"))
+    raise ValueError(f"connected_components did not converge in {max_iter} rounds")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (vectorized UDF; exact ANSI-SQL twin in queries.py — md5 halves,
 # 64 signed-majority bit sums, band keys rebuilt from sign bits)

@@ -2026,6 +2026,35 @@ def _sql_corpus_build() -> str:
 """
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Fuzzy-dedup clustering: MinHash near-dup pairs -> connected
+    components (iterative min-label propagation; operators/dedup.py
+    connected_components).  Each near-dup group is identified by its
+    minimum doc_id — the keep-one-representative step real dedup pipelines
+    run between pair generation and deletion.  The DuckDB twin is a
+    recursive CTE computing the min reachable id per node."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_dups(docs, threshold_u=400_000)
+    return DD.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+SQL_NEAR_DUP_COMPONENTS = f"""
+    WITH RECURSIVE pairs0 AS (
+      SELECT doc_a, doc_b FROM ({SQL_MINHASH_NEAR_DUPS})
+    ), sym AS (
+      SELECT doc_a, doc_b FROM pairs0
+      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs0
+    ), reach(id, lab) AS (
+      SELECT DISTINCT doc_a AS id, doc_a AS lab FROM sym
+      UNION
+      SELECT s.doc_a, r.lab FROM sym s JOIN reach r ON r.id = s.doc_b
+    )
+    SELECT id AS doc_id, min(lab) AS component_id FROM reach GROUP BY id
+"""
+
+
 def _corpus_spans_path() -> str:
     import os
 
@@ -2267,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_update": q_corpus_update,
         "line_dedup": q_line_dedup,
         "boilerplate_strip": q_boilerplate_strip,
+        "near_dup_components": q_near_dup_components,
     }
 
 
@@ -2326,4 +2356,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_update": _sql_corpus_update(),
         "line_dedup": _sql_line_dedup(),
         "boilerplate_strip": _sql_boilerplate_strip(),
+        "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
     }

@@ -344,3 +344,21 @@ def test_sampling_deterministic_and_stratified(spark):
     rows = q_stratified_sample(spark, "/root/testdata/sf0.01").collect()
     assert all(r["bucket_u"] < r["rate_u"] for r in rows)
     assert len({r["rate_u"] for r in rows}) > 1  # rates vary by source
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation: a 6-node chain (needs multiple propagation
+    rounds), a 2-clique, and a triangle all resolve to min-id components."""
+    from crawler_news_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # chain 1-6
+         (10, 11),                                   # pair
+         (20, 21), (21, 22), (20, 22)],              # triangle
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
