@@ -371,59 +371,101 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
     return jac.filter(F.col("jaccard_u") >= threshold_u)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         rounds_out: list | None = None) -> DataFrame:
     """Connected components over an undirected edge list (doc_a, doc_b) by
-    min-label propagation — the fuzzy-dedup CLUSTERING step: near-dup pairs
-    become groups, and the group representative is the minimum member id.
+    min-label propagation with pointer doubling — the fuzzy-dedup CLUSTERING
+    step: near-dup pairs become groups, and the group representative is the
+    minimum member id.
 
     Returns (id, component_id) for every node appearing in an edge.
 
     Iterative join-based propagation, the idiomatic Spark shape: each round
-    every node takes min(own label, neighbors' labels); convergence when no
-    label changes (one count per round; rounds needed = graph diameter —
-    near-dup clusters are star/clique-like, so 2-4 in practice).  Each
-    round's labels are persisted and the previous generation released;
+    every node takes
+
+        min(own label, neighbors' labels, label OF its own label)
+
+    The third term is the pointer-doubling shortcut (the label-contraction
+    step of Kiveris et al.'s large-star/small-star family): a node whose
+    label is k rounds stale jumps straight to k-fresh information, so the
+    longest label chain HALVES each round and convergence is O(log
+    diameter) rounds instead of O(diameter) — a planted path graph of 300
+    nodes converges in ~9 rounds, not 300 (tests/test_dedup_similarity.py).
+    Every label is always the id of some node in the same component (labels
+    only ever flow along edges), so the shortcut join hits and the fixpoint
+    is unchanged: no-change under shortcutted propagation implies no-change
+    under plain propagation, whose unique fixpoint is the component min.
+
+    Convergence is detected by a change-count (one 1-row collect per round).
+    Each round's labels are persisted and the previous generation released;
     ``localCheckpoint`` truncates the logical plan so the lineage does not
     grow with iterations (on a cluster with an HDFS checkpoint dir,
-    ``checkpoint`` is the fault-tolerant swap-in).  Deterministic — min is
-    order-insensitive — so the DuckDB twin is a recursive CTE computing the
-    min reachable id per node.
+    ``checkpoint`` is the fault-tolerant swap-in).  The symmetrized edge
+    list is checkpointed ONCE before the loop — it is read by every round's
+    join, and without materialization the upstream pair-generation plan
+    (e.g. minhash_near_dups' exact-Jaccard verify) would re-execute each
+    round.  Deterministic — min is order-insensitive — so the DuckDB twin
+    is a recursive CTE computing the min reachable id per node.
+
+    ``rounds_out``: optional list; the number of propagation rounds is
+    appended (bench/tests instrumentation).
     """
     sym = edges.select("doc_a", "doc_b").unionByName(
         edges.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
-    labels = (
-        sym.select(F.col("doc_a").alias("id")).distinct()
-        .withColumn("lab", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(F.col("id").alias("doc_b"), "lab"), "doc_b"
-            )
-            .groupBy("doc_a")
-            .agg(F.min("lab").alias("nlab"))
-            .withColumnRenamed("doc_a", "id")
+    ).localCheckpoint()
+    try:
+        labels = (
+            sym.select(F.col("doc_a").alias("id")).distinct()
+            .withColumn("lab", F.col("id"))
+            .localCheckpoint()
         )
-        new = (
-            labels.join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
-                (F.coalesce("nlab", "lab") < F.col("lab")).cast("int").alias("_chg"),
+        for rounds in range(1, max_iter + 1):
+            nbr = (
+                sym.join(
+                    labels.select(F.col("id").alias("doc_b"), "lab"), "doc_b"
+                )
+                .groupBy("doc_a")
+                .agg(F.min("lab").alias("nlab"))
+                .withColumnRenamed("doc_a", "id")
             )
-        )
-        new = new.localCheckpoint()
-        changed = new.agg(F.sum("_chg")).collect()[0][0] or 0
-        new = new.drop("_chg")
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            return labels.select("id", F.col("lab").alias("component_id"))
-    raise ValueError(f"connected_components did not converge in {max_iter} rounds")
+            # pointer doubling: lab(lab(id)) — every lab value is a node id,
+            # so the self-join always finds a row (left join is belt-and-
+            # braces for the init round).
+            hop = labels.select(
+                F.col("id").alias("lab"), F.col("lab").alias("lab2")
+            )
+            new = (
+                labels.join(nbr, "id", "left")
+                .join(hop, "lab", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lab"),
+                        F.coalesce("nlab", "lab"),
+                        F.coalesce("lab2", "lab"),
+                    ).alias("new_lab"),
+                    F.col("lab").alias("_old"),
+                )
+                .select(
+                    "id",
+                    F.col("new_lab").alias("lab"),
+                    (F.col("new_lab") < F.col("_old")).cast("int").alias("_chg"),
+                )
+            )
+            new = new.localCheckpoint()
+            changed = new.agg(F.sum("_chg")).collect()[0][0] or 0
+            new = new.drop("_chg")
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                if rounds_out is not None:
+                    rounds_out.append(rounds)
+                return labels.select("id", F.col("lab").alias("component_id"))
+        raise ValueError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        sym.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,11 +35,27 @@ class CommitConflictError(RuntimeError):
     caller's retry loop re-reads the pointer and re-attempts."""
 
 
+# One commit mutex per catalog root: the in-process stand-in for the
+# metastore's atomic pointer swap — the CAS check + manifest replace must be
+# one indivisible step or two racing threads could both pass the check.
+# Cross-process atomicity is the production catalog's job (Iceberg does it
+# in the metastore commit).
+_COMMIT_MUTEXES: dict[str, threading.Lock] = {}
+_COMMIT_MUTEXES_GUARD = threading.Lock()
+
+
+def _commit_mutex(root: str) -> threading.Lock:
+    key = os.path.realpath(root)
+    with _COMMIT_MUTEXES_GUARD:
+        return _COMMIT_MUTEXES.setdefault(key, threading.Lock())
+
+
 class CrawlCatalog:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
         self.spark = spark
         os.makedirs(root, exist_ok=True)
+        self._commit_mutex = _commit_mutex(root)
 
     # ---- manifest --------------------------------------------------------
 
@@ -63,22 +80,26 @@ class CrawlCatalog:
         re-resolves its snapshot, and retries (see
         tests/test_catalog_contract.py::test_concurrent_commit_conflict).
         The default (None) is the single-writer wave loop's unconditional
-        commit.  Cross-process CAS atomicity is the production catalog's job
-        (Iceberg does it in the metastore swap); in-process the wave loop is
-        single-threaded at the commit point.
+        commit.  In-process, the CAS check + manifest swap run under a
+        per-root mutex so concurrent writer threads serialize at the commit
+        point and exactly one wins each slot
+        (tests/test_catalog_contract.py::test_concurrent_writers_stress);
+        cross-process CAS atomicity is the production catalog's job (Iceberg
+        does it in the metastore swap).
         """
-        m = self.read_manifest()
-        if expected_last is not None and m["last_wave"] != expected_last:
-            raise CommitConflictError(
-                f"snapshot pointer moved: expected last_wave={expected_last}, "
-                f"found {m['last_wave']}"
-            )
-        m["last_wave"] = wave
-        m["waves"][str(wave)] = stats
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path)
+        with self._commit_mutex:
+            m = self.read_manifest()
+            if expected_last is not None and m["last_wave"] != expected_last:
+                raise CommitConflictError(
+                    f"snapshot pointer moved: expected last_wave={expected_last}, "
+                    f"found {m['last_wave']}"
+                )
+            m["last_wave"] = wave
+            m["waves"][str(wave)] = stats
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path)
 
     def last_wave(self) -> int:
         return self.read_manifest()["last_wave"]
@@ -195,26 +216,75 @@ class CrawlCatalog:
         - time travel to waves < upto is expired (returns None);
         - the small-file count collapses to ``parts``.
 
-        The consolidated snapshot is fully written (with _SUCCESS) BEFORE any
-        source dir is removed; a crash mid-cleanup leaves extra committed
-        source dirs alongside ``_compacting`` debris, which ``compact`` can
-        simply re-run (it is idempotent over the union).  Real Iceberg makes
-        the swap atomic in the metadata layer.
+        Crash safety: the consolidated snapshot is fully written (with
+        _SUCCESS) into ``_compacting-{upto}`` BEFORE any source dir is
+        removed — the dir NAME carries the horizon, so recovery promotes a
+        crashed attempt into ITS OWN slot, never a later caller's (a stale
+        snapshot covering waves <= 1 must not subsume waves appended after
+        the crash).  A committed ``_compacting-{u}`` subsumes every
+        committed dir <= u (the catalog is single-maintainer: nothing
+        appends at <= u once the wave pointer has passed it).  Every call
+        therefore finishes any prior attempt first: it removes that
+        attempt's remaining subsumed sources and promotes its snapshot —
+        covering a crash anywhere in the cleanup, including after the LAST
+        source rmtree (where the fresh path would see zero committed dirs
+        and silently strand the data).  A half-written attempt (no
+        _SUCCESS) is discarded.  Real Iceberg makes the swap atomic in the
+        metadata layer.
         """
         import shutil as _sh
 
+        tdir = os.path.join(self.root, table)
+        # Recover / discard prior attempts (dir name carries their horizon).
+        recovered = 0
+        if os.path.isdir(tdir):
+            for d in sorted(os.listdir(tdir)):
+                if not d.startswith("_compacting"):
+                    continue
+                prior = os.path.join(tdir, d)
+                suffix = d.removeprefix("_compacting").lstrip("-")
+                if not suffix.isdigit() or not os.path.exists(
+                    os.path.join(prior, "_SUCCESS")
+                ):
+                    _sh.rmtree(prior)  # legacy name or crashed mid-write
+                    continue
+                prior_upto = int(suffix)
+                pdirs = self._committed_dirs(table, prior_upto)
+                for _w, _t, p in pdirs:
+                    _sh.rmtree(p)
+                pdest = self._dir(table, prior_upto)
+                if os.path.exists(pdest):  # uncommitted debris at the slot
+                    _sh.rmtree(pdest)
+                os.rename(prior, pdest)
+                recovered = max(len(pdirs), 1)
+
         dirs = self._committed_dirs(table, upto)
         if not dirs:
-            return 0
+            return recovered
+        tmp = os.path.join(tdir, f"_compacting-{upto}")
+        dest = self._dir(table, upto)
         df = self.read_upto(table, upto, merge_schema=merge_schema)
         if parts is not None:
             df = df.coalesce(parts)
-        tmp = os.path.join(self.root, table, "_compacting")
         df.write.mode("overwrite").parquet(tmp)
         for _w, _t, p in dirs:
             _sh.rmtree(p)
-        os.rename(tmp, self._dir(table, upto))
+        if os.path.exists(dest):  # uncommitted debris at the slot
+            _sh.rmtree(dest)
+        os.rename(tmp, dest)
         return len(dirs)
+
+    @staticmethod
+    def _snapshot_order(d: tuple[int, str | None, str]):
+        """Newest-snapshot ordering of a slot's dirs — the ONE definition
+        shared by read_latest_state (which returns the max) and expire_state
+        (which deletes everything else): within a slot the wave loop's plain
+        write post-dates any injK tags (injection always precedes the wave
+        run), and injK order is by K."""
+        w, tag, _p = d
+        if tag is None:
+            return (w, 1, 0)
+        return (w, 0, int(tag.removeprefix("inj") or 0) if tag.startswith("inj") else 0)
 
     def expire_state(self, table: str, upto: int) -> int:
         """Expire superseded generations of an overwrite/state table: keep
@@ -228,13 +298,7 @@ class CrawlCatalog:
         if len(dirs) <= 1:
             return 0
 
-        def order(d: tuple[int, str | None, str]):
-            w, tag, _p = d
-            if tag is None:
-                return (w, 1, 0)
-            return (w, 0, int(tag.removeprefix("inj") or 0) if tag.startswith("inj") else 0)
-
-        keep = max(dirs, key=order)[2]
+        keep = max(dirs, key=self._snapshot_order)[2]
         n = 0
         for _w, _t, p in dirs:
             if p != keep:
@@ -252,14 +316,7 @@ class CrawlCatalog:
         dirs = self._committed_dirs(table, upto)
         if not dirs:
             return None
-
-        def order(d: tuple[int, str | None, str]):
-            w, tag, _p = d
-            if tag is None:
-                return (w, 1, 0)
-            return (w, 0, int(tag.removeprefix("inj") or 0) if tag.startswith("inj") else 0)
-
-        return self.spark.read.parquet(max(dirs, key=order)[2])
+        return self.spark.read.parquet(max(dirs, key=self._snapshot_order)[2])
 
     def prune_uncommitted(self) -> None:
         """Drop wave dirs past the manifest's last completed wave (crash debris).

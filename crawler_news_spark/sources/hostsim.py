@@ -429,18 +429,22 @@ def skew_bench_web(seed: int = 7, n_hosts: int = 4, types_total: int = 1024,
     by ``bench.py --web skew`` to prove the budget anti-join + salted
     politeness hold throughput near the uniform case."""
     giant = int(types_total * giant_frac)
-    rest = (types_total - giant) // (n_hosts - 1)
+    rest, rem = divmod(types_total - giant, n_hosts - 1)
+    # Spread the division remainder over the first `rem` non-giant hosts so
+    # host type-counts sum EXACTLY to types_total — the skew-vs-uniform
+    # comparison must be frontier-matched, not off by the remainder.
     specs = tuple(
         HostSpec(
             f"bench{i}.example.vn",
             PROFILES[i % len(PROFILES)],
-            n_types=giant if i == 0 else rest,
+            n_types=giant if i == 0 else rest + (1 if i <= rem else 0),
             links_per_page=links,
             max_depth=depth,
             crawl_delay_s=0.5,
         )
         for i in range(n_hosts)
     )
+    assert sum(s.n_types for s in specs) == types_total
     return WebConfig(seed=seed, hosts=specs, page_weight=page_weight)
 
 

@@ -362,3 +362,37 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Pointer doubling bounds rounds at O(log diameter): a planted path of
+    301 nodes (diameter 300 — plain min-label propagation would need 300
+    rounds and blow the max_iter=25 ceiling) converges in <= 12 rounds with
+    the correct min-id labeling."""
+    from crawler_news_spark.operators.dedup import connected_components
+
+    n = 301
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    ).repartition(8)
+    rounds_out: list = []
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(edges, rounds_out=rounds_out).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds_out[0] <= 12, f"took {rounds_out[0]} rounds"
+
+
+def test_connected_components_shuffled_chain_min_in_middle(spark):
+    """Label correctness is independent of where the component min sits:
+    a chain whose minimum id is mid-path, plus an isolated pair with a
+    reversed edge."""
+    from crawler_news_spark.operators.dedup import connected_components
+
+    # path: 50 - 30 - 7 - 41 - 90  (min 7 in the middle), pair (100, 99)
+    edges = spark.createDataFrame(
+        [(50, 30), (30, 7), (41, 7), (90, 41), (100, 99)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {50: 7, 30: 7, 7: 7, 41: 7, 90: 7, 100: 99, 99: 99}
