@@ -30,49 +30,35 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-BENCH_QUERIES = [
-    "exact_dedup",
-    "keepfirst_dedup",
-    "fingerprint",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "repetition_quality",
-    "decontaminate",
-    "hash_sample",
-    "stratified_sample",
-    "pack_sequences",
-    "top_keywords",
-    "minhash_signatures",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "winnow_pairs",
-    "images_metadata",
-    "cosine_topk",
-    "lsh_topk",
-    "ivf_topk",
-    "ann_recall",
-    "embedding_near_dups_lsh",
-    "media_metadata",
-    "media_resize",
-    "media_features",
-    "pricing_summary",
-    "sessionize",
-    "windowed_counts",
-    "rollup_revenue",
-    "pivot_events",
-    "topk_per_group",
-    "date_range",
-    "date_range_typed",
-    "group_count",
-    "top_revenue_nations",
-    "shipping_priority",
-    "length_percentiles",
-    "promo_revenue",
-    "supplier_geography",
-    "order_priority_count",
-    "corpus_build",
+# Query families share one calibrated measurement window (a steal probe on
+# each side): per-query numbers in the artifact carry their window's
+# effective-core reading, and a family whose window was dirty is re-run once
+# (min time per query kept — less steal = faster = closer to the machine's
+# true number).  The third field is rerun_ok: the corpus family embeds its
+# own crawl whose cross-run memo would make a re-run measure the warm path,
+# so it keeps single-attempt first-run semantics.
+QUERY_FAMILIES = [
+    ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint"], True),
+    ("text", ["token_count", "lang_id", "quality_score",
+              "repetition_quality", "decontaminate"], True),
+    ("sample", ["hash_sample", "stratified_sample", "pack_sequences",
+                "top_keywords"], True),
+    ("neardup", ["minhash_signatures", "minhash_near_dups",
+                 "simhash_near_dups", "winnow_pairs"], True),
+    ("ann", ["cosine_topk", "lsh_topk", "ivf_topk", "ann_recall",
+             "embedding_near_dups_lsh"], True),
+    ("media", ["images_metadata", "media_metadata", "media_resize",
+               "media_features"], True),
+    ("olap1", ["pricing_summary", "sessionize", "windowed_counts",
+               "rollup_revenue", "pivot_events"], True),
+    ("olap2", ["topk_per_group", "date_range", "date_range_typed",
+               "group_count", "top_revenue_nations"], True),
+    ("olap3", ["shipping_priority", "length_percentiles", "promo_revenue",
+               "supplier_geography", "order_priority_count"], True),
+    ("corpus", ["corpus_build"], False),
 ]
+
+BENCH_QUERIES = [q for _f, qs, _r in QUERY_FAMILIES for q in qs]
 
 
 def make_spark(master: str | None = None):
@@ -312,22 +298,158 @@ def run_streaming_bench(spark, seconds: int = 45,
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_corpus_ingest_bench(spark, seconds: int = 45,
+                            docs_per_sec: int = 20_000,
+                            n_wire: int = 500) -> dict:
+    """Sustained-load row for the STREAMING incremental corpus ingest
+    (streaming/corpus_ingest.py — the daily-refresh deployment of
+    corpus_update): a rate source offers ``docs_per_sec`` synthetic
+    documents with planted duplicate structure (1/3 exact copies of a
+    wire pool that seeds the existing corpus, 1/6 near-dup variants of it,
+    1/2 unique), and every micro-batch runs the full acceptance pipeline —
+    within-batch exact dedup, fingerprint anti-join vs existing + all
+    committed epochs, banded cross-LSH vs the existing corpus, epoch-keyed
+    parquet append.  Reports the sustained ingested-docs/s from the query's
+    progress metrics plus the accept/reject split and steal probes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from crawler_news_spark.streaming import corpus_ingest as CI
+
+    def doc_text(key_col, n_words: int = 24):
+        return F.concat_ws(
+            " ",
+            *[
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"|{i}"))), 1, 8
+                )
+                for i in range(n_words)
+            ],
+        )
+
+    existing = spark.range(n_wire).select(
+        F.concat(F.lit("old-"), F.col("id")).alias("doc_id"),
+        doc_text(F.col("id")).alias("text"),
+    ).persist()
+    existing.count()
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", docs_per_sec)
+        .option("numPartitions", min(CPUS, 8))
+        .load()
+    )
+    cls = F.col("value") % 6
+    wire = F.col("value") % n_wire
+    docs = rate.select(
+        F.concat(F.lit("new-"), F.col("value")).alias("doc_id"),
+        F.when(cls < 2, doc_text(wire))
+        .when(
+            cls == 2,
+            F.concat(doc_text(wire), F.lit(" "),
+                     F.substring(F.md5(F.col("value").cast("string")), 1, 8)),
+        )
+        .otherwise(doc_text(F.col("value") + 10_000_000))
+        .alias("text"),
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="corpus_ingest_out_")
+    ckpt = tempfile.mkdtemp(prefix="corpus_ingest_ckpt_")
+    counts = {"input": 0, "batches": 0}
+
+    def batch_fn(df, epoch_id):
+        CI.ingest_batch(spark, df, existing, out_dir, epoch_id)
+        # counted only after the epoch's write committed, so accept_frac is
+        # computed over the same batches read_accepted sees
+        counts["input"] += df.count()
+        counts["batches"] += 1
+
+    pre = calibrate_steal()
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    time.sleep(seconds)
+    progress = list(q.recentProgress)
+    q.stop()
+    post = calibrate_steal()
+    accepted_df = CI.read_accepted(spark, out_dir)
+    accepted = accepted_df.count() if accepted_df is not None else 0
+    existing.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    by_batch = {p["batchId"]: p for p in progress}
+    rates = [p["processedRowsPerSecond"]
+             for _b, p in sorted(by_batch.items())
+             if p.get("numInputRows", 0) > 0]
+    tail = rates[len(rates) // 2 :] or [0.0]
+    return {
+        "offered_docs_per_sec": docs_per_sec,
+        "sustained_docs_per_sec": round(sum(tail) / len(tail), 1),
+        "input_docs": counts["input"],
+        "accepted_docs": accepted,
+        "accept_frac": round(accepted / max(counts["input"], 1), 3),
+        "batches": counts["batches"],
+        "seconds": seconds,
+        "calibration_pre": pre,
+        "calibration_post": post,
+    }
+
+
+def run_queries(spark, sf_dir: str, min_eff_frac: float = 0.75,
+                max_attempts: int = 2):
+    """Window-gated query phase (VERDICT r05 item 3): each query FAMILY is
+    measured inside its own calibrated window (steal probe before + after);
+    a dirty window (effective cores < min_eff_frac x nominal on either
+    probe) re-runs the family once and the per-query MIN is kept.  Returns
+    (times, eff, windows): per-query seconds, per-query effective-core
+    reading of the window the reported time came from, and the window log.
+    """
     from crawler_news_spark import queries as Q
 
     reg = Q.queries()
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = reg[name](spark, sf_dir).count()
-        out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
-        # isolate measurements: composite operators persist skinny
-        # intermediates that must outlive their own action; dropping them
-        # between queries keeps executor storage from bleeding into the
-        # NEXT query's time (r02 embedding-family regression root cause)
-        spark.catalog.clearCache()
-    return out
+    eff: dict[str, float] = {}
+    windows: list[dict] = []
+    for fam, qnames, rerun_ok in QUERY_FAMILIES:
+        attempts = max_attempts if rerun_ok else 1
+        for attempt in range(attempts):
+            pre = calibrate_steal(n=3_000_000)
+            times: dict[str, float] = {}
+            for name in qnames:
+                t0 = time.time()
+                n = reg[name](spark, sf_dir).count()
+                times[name] = round(time.time() - t0, 3)
+                print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+                # isolate measurements: composite operators persist skinny
+                # intermediates that must outlive their own action; dropping
+                # them between queries keeps executor storage from bleeding
+                # into the NEXT query's time (r02 embedding regression)
+                spark.catalog.clearCache()
+            post = calibrate_steal(n=3_000_000)
+            w_eff = round(min(pre["effective_cores"], post["effective_cores"]), 2)
+            clean = w_eff >= min_eff_frac * pre["procs"]
+            windows.append({
+                "family": fam, "attempt": attempt, "queries": qnames,
+                "eff_cores_pre": pre["effective_cores"],
+                "eff_cores_post": post["effective_cores"],
+                "clean": clean,
+            })
+            for k, v in times.items():
+                if k not in out or v < out[k]:
+                    out[k] = v
+                    eff[k] = w_eff
+            if clean:
+                break
+            if attempt < attempts - 1:
+                print(f"  [family {fam}] dirty window "
+                      f"(eff {w_eff}/{pre['procs']}), re-running",
+                      file=sys.stderr)
+    return out, eff, windows
 
 
 def main() -> None:
@@ -336,6 +458,9 @@ def main() -> None:
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--streaming", action="store_true",
                     help="sustained-load row for the streaming intake")
+    ap.add_argument("--streaming-corpus", action="store_true",
+                    help="sustained-load row for the streaming corpus ingest")
+    ap.add_argument("--docs-rate", type=int, default=20_000)
     ap.add_argument("--stream-rate", type=int, default=100_000)
     ap.add_argument("--stream-seconds", type=int, default=45)
     ap.add_argument("--crawl-scale", type=float, default=4.0)
@@ -353,6 +478,14 @@ def main() -> None:
         spark = make_spark()
         res = run_streaming_bench(spark, seconds=args.stream_seconds,
                                   rows_per_sec=args.stream_rate)
+        print(json.dumps(res))
+        spark.stop()
+        return
+
+    if args.streaming_corpus:
+        spark = make_spark()
+        res = run_corpus_ingest_bench(spark, seconds=args.stream_seconds,
+                                      docs_per_sec=args.docs_rate)
         print(json.dumps(res))
         spark.stop()
         return
@@ -398,7 +531,7 @@ def main() -> None:
     # compilation, snapshot commits) doesn't dominate the throughput figure
     crawl = run_crawl_calibrated(spark, web_kind="bench", types=256)
     print(f"  crawl: {crawl}", file=sys.stderr)
-    qtimes = run_queries(spark, SF_DIR)
+    qtimes, qeff, qwindows = run_queries(spark, SF_DIR)
     qcal = calibrate_steal()
     total = round(time.time() - t_all, 3)
     print(json.dumps({
@@ -406,6 +539,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "queries_eff_cores": qeff,
+        "query_windows": qwindows,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": crawl,
         "warmup_sec": warmup_sec,

@@ -600,3 +600,60 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup (reference has no line ops; this is the
+# training-pipeline extension — Raffel et al. 2020 §2.2's occurring-span
+# dedup at line granularity)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup_docs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    digest_keys: bool = False) -> DataFrame:
+    """C4-style corpus-wide line dedup: split each document on '\\n'; every
+    duplicated line survives only at its FIRST (doc_id, idx) occurrence.
+
+    Returns (doc_id, n_kept, n_dropped, clean_hash) where clean_hash is the
+    md5 of the reassembled surviving text.
+
+    Scale shape: ONE window partitioned by the line — group size is that
+    line's duplication count, bounded by corpus duplication, never corpus
+    size — plus one hash aggregate to reassemble.
+
+    ``digest_keys`` is the petabyte knob: partition the window on
+    md5(line) (128-bit digest) instead of the raw line, so the shuffle
+    carries fixed-width 32-byte keys instead of arbitrarily long line text
+    in the KEY position (the line still rides along as a value column for
+    reassembly).  Result-identical to the raw-line plan unless two distinct
+    lines collide under md5 — negligible (~2^-64 birthday bound) at any
+    real corpus size; the raw-line default keeps the DuckDB oracle twin
+    collision-proof by construction.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    part = F.md5("line") if digest_keys else F.col("line")
+    w = Window.partitionBy(part).orderBy("doc_id", "idx")
+    flagged = lines.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep") == 1, F.struct("idx", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )

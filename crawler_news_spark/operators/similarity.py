@@ -398,6 +398,7 @@ def ivf_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN: integer k-means coarse quantizer, probe the n_probe cells
     with the largest query-centroid inner product.
@@ -407,11 +408,16 @@ def ivf_topk(
       state — any engine picks the same pivots);
     - assignment: argmax integer dot of quantized vectors (exact);
     - update: per-dimension floor(sum/count) on integers (exact);
-    - probing: top n_probe centroids by integer dot.
+    - probing: top n_probe centroids by integer dot, computed IN-PLAN (one
+      Arrow pass over the query rows — nothing on the driver scales with
+      n_queries).
     Scale: assignment is one codegen/Arrow pass per iteration over a skinny
     (id, q) projection; driver state is only the (n_clusters x dim) ints.
-    ``seed`` keys the pivot hash strings (kept for API parity; pivoting is
-    hash-ordered, not sampled).
+    ``broadcast_probes`` hints the probe-side of the cell join broadcast —
+    right for interactive query sets (<< corpus); pass False for a bulk
+    query set comparable to the corpus, which should shuffle on cluster
+    instead.  ``seed`` keys the pivot hash strings (kept for API parity;
+    pivoting is hash-ordered, not sampled).
     """
     from . import _cache
 
@@ -440,27 +446,45 @@ def ivf_topk(
 
     clustered = _assign_clusters(q, cent, id_col)
 
-    # probe selection runs driver-side on the n_queries collected rows —
-    # same argmax-dot math as the distributed assignment, no extra pass
-    q_rows = q.filter(F.col(id_col) < n_queries).collect()
-    probes = []
-    for r in q_rows:
-        qq = np.asarray(r["q"], dtype=np.int64)
-        dots = cent @ qq
-        # top n_probe by (dot desc, cluster asc) — argsort on (-dot) is
-        # stable, so equal dots keep ascending cluster order
-        order = np.argsort(-dots, kind="stable")[:n_probe]
-        for j in order:
-            probes.append((int(r[id_col]), list(r["e"]), int(j)))
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(
-        probes, "query_id long, qe array<double>, cluster int"
-    ).withColumn("qn", _norm(F.col("qe")))
+    # probe selection runs IN-PLAN: the (n_clusters x dim) centroid matrix —
+    # already O(clusters x dim) driver state from the k-means loop — is
+    # closure-broadcast into one Arrow pass that emits each query's
+    # top-n_probe cells (the same argmax-dot kernel as _assign_clusters).
+    # Nothing scales with n_queries on the driver: a 10M-query set streams
+    # through executors like any other DataFrame.
+    cprobe = cent
+    npb = n_probe
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].map(np.asarray).to_numpy()).astype(np.int64)
+            dots = m @ cprobe.T  # (batch, n_clusters)
+            # top n_probe by (dot desc, cluster asc) — argsort on (-dot) is
+            # stable, so equal dots keep ascending cluster order
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :npb]
+            nq = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy().repeat(npb),
+                    "qe": pdf["e"].to_numpy().repeat(npb),
+                    "cluster": order.astype(np.int32).reshape(nq * npb),
+                }
+            )
+
+    probe_df = (
+        q.filter(F.col(id_col) < n_queries)
+        .mapInPandas(_probe, "query_id long, qe array<double>, cluster int")
+        .withColumn("qn", _norm(F.col("qe")))
+    )
     c = clustered.select(
         F.col(id_col).alias("neighbor_id"), F.col("e").alias("ce"), "cluster"
     ).withColumn("cn", _norm(F.col("ce")))
     scored = (
-        c.join(F.broadcast(probe_df), "cluster")
+        c.join(F.broadcast(probe_df) if broadcast_probes else probe_df, "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim_u",

@@ -1571,17 +1571,34 @@ CB_MIN_WORDS = 26  # drops the ~5% shortest bodies
 CB_MIN_QUALITY_U = 280_000  # drops the ~5% lowest-quality bodies
 CB_MAX_DUP3_U = 100_000  # Gopher-style repetition ceiling (10%)
 CB_JACCARD_U = 400_000  # near-dup threshold (syndicated copies are ~0.85+)
+CB_BOILER_DF = 3  # a line in >= 3 distinct docs is boilerplate (jusText-style)
 CB_MIN_SHARED = 10  # distinct shared 5-grams = contaminated (wire copies
 #                     of eval docs share >= 39; unrelated docs share 0)
 CB_PACK_BUDGET = 2048  # tokens per packed context window
 CB_DOCS_PER_SHARD = 100  # pack-shard granularity (per-shard work bound)
 
 
-# (applicationId, WebConfig) -> assembled per-doc bodies of a finished crawl.
-# corpus_build and corpus_update crawl the SAME web; within one session the
-# second query reuses the first's crawl (the catalog parquet stays on disk,
-# so the memoized DataFrame remains valid across spark.catalog.clearCache()).
+# (applicationId, WebConfig) -> (catalog tempdir, assembled per-doc bodies)
+# of a finished crawl.  corpus_build and corpus_update crawl the SAME web;
+# within one session the second query reuses the first's crawl (the catalog
+# parquet stays on disk, so the memoized DataFrame remains valid across
+# spark.catalog.clearCache()).  The tempdir is tracked with the entry and
+# removed when the entry is evicted (and at interpreter exit), so repeated
+# invocations in a long-lived process do not leak catalog dirs.
 _CRAWL_BODY_MEMO: dict = {}
+
+
+def _evict_crawl_body_memo() -> None:
+    import shutil
+
+    for root, _body in _CRAWL_BODY_MEMO.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _CRAWL_BODY_MEMO.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_evict_crawl_body_memo)
 
 
 def _crawled_bodies(spark, web) -> DataFrame:
@@ -1591,7 +1608,7 @@ def _crawled_bodies(spark, web) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, web)
     if key in _CRAWL_BODY_MEMO:
-        return _CRAWL_BODY_MEMO[key]
+        return _CRAWL_BODY_MEMO[key][1]
     root = tempfile.mkdtemp(prefix="corpus_cat_")
     wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
     wc.run()
@@ -1605,8 +1622,8 @@ def _crawled_bodies(spark, web) -> DataFrame:
             "\n",
         ).alias("text"),
     )
-    _CRAWL_BODY_MEMO.clear()  # one live crawl per process is plenty
-    _CRAWL_BODY_MEMO[key] = body
+    _evict_crawl_body_memo()  # one live crawl per process is plenty
+    _CRAWL_BODY_MEMO[key] = (root, body)
     return body
 
 
@@ -1619,11 +1636,23 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
       body          assemble per-document text from the text spans
       bench/corpus  deterministic eval-set split (md5 bucket mod 20)
       quality       Gopher-style gate: length + composite quality + dup-3gram
-      exact         exact dedup (keep min doc_id per md5 body)
+      boilerplate   jusText-style strip: a line in >= 3 distinct docs is
+                    boilerplate and removed from EVERY document
+      line-dedup    C4-style keep-first: each remaining duplicated line
+                    survives only at its first (doc_id, idx) occurrence;
+                    documents reassemble from surviving lines (docs losing
+                    every line — byte-exact republications — drop out here)
+      exact         exact dedup (keep min doc_id per md5 cleaned body)
       near-dup      MinHash+LSH near-dup removal (drop doc_b of each pair)
       decontaminate drop corpus docs sharing >=10 word-5-grams with the
                     eval set (GPT-3/PaLM-style report decontamination)
       pack          hash-sharded greedy sequence packing into 2048-token bins
+
+    The two line-level stages run in the jusText-then-C4 order real corpus
+    builds use, BETWEEN the quality gate and exact dedup: boilerplate is
+    corpus-frequency evidence (needs every doc), line dedup then dedups the
+    remaining content lines, and exact dedup collapses what still matches
+    byte-for-byte after cleaning.
 
     Every intermediate is a pure DataFrame: the composed plan is one lineage
     from the crawl frontier to the packed corpus — the integration seam the
@@ -1653,8 +1682,40 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         & (TX.dup_ngram_frac_u(F.lit(""), 3, tokens=F.col("_w")) <= CB_MAX_DUP3_U)
     ).select("doc_id", "text")
 
+    # line-level cleaning: explode once, strip corpus-frequent lines
+    # (hash agg + anti-join — no window), then keep-first dedup the rest
+    # (window partitioned by the LINE: group size = that line's duplication
+    # count, never corpus size), then reassemble.  Docs whose every line is
+    # boilerplate or seen-before vanish at the reassembly groupBy — the
+    # "drop empty documents" step free of charge.
+    lines = corpus1.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line")
+    )
+    boiler_lines = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= CB_BOILER_DF)
+        .select("line")
+    )
+    lines_noboiler = lines.join(boiler_lines, "line", "left_anti")
+    w_line = Window.partitionBy("line").orderBy("doc_id", "idx")
+    lines_clean = (
+        lines_noboiler.withColumn("_rn", F.row_number().over(w_line))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "idx", "line")
+    )
+    corpus1c = lines_clean.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text")
+    )
+
     corpus2 = (
-        corpus1.withColumn("content_hash", F.md5("text"))
+        corpus1c.withColumn("content_hash", F.md5("text"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
         .select("doc_id", "text")
@@ -1715,6 +1776,11 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         "bench": bench,
         "corpus_raw": corpus0,
         "corpus_quality": corpus1,
+        "lines": lines,
+        "boiler_lines": boiler_lines,
+        "lines_noboiler": lines_noboiler,
+        "lines_clean": lines_clean,
+        "corpus_lineclean": corpus1c,
         "corpus_exact": corpus2,
         "near_dup_pairs": pairs,
         "corpus_neardup": corpus3,
@@ -1933,9 +1999,28 @@ def _sql_corpus_build() -> str:
         AND coalesce(
               CAST(floor((1.0 - CAST(r.dist AS DOUBLE) / r.tot) * 1e6 + 0.5)
                    AS BIGINT), 0) <= {CB_MAX_DUP3_U}
+    ), lines AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS idx, l[CAST(i AS INT)] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus1),
+           unnest(generate_series(1, len(l))) t(i)
+    ), boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {CB_BOILER_DF}
+    ), lines1 AS (
+      SELECT ln.* FROM lines ln
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = ln.line)
+    ), lines2 AS (
+      SELECT doc_id, idx, line FROM (
+        SELECT doc_id, idx, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        FROM lines1
+      ) WHERE rn = 1
+    ), corpus1c AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+      FROM lines2 GROUP BY doc_id
     ), corpus2 AS (
       SELECT min(doc_id) AS doc_id, min(text) AS text
-      FROM corpus1 GROUP BY md5(text)
+      FROM corpus1c GROUP BY md5(text)
     ), sh AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
       FROM corpus2,
@@ -2102,32 +2187,12 @@ def q_line_dedup(spark, sf_dir):
     the oracle-exact form here keeps the raw line so the twin is
     collision-proof by construction.
     Wire-syndicated duplicates make this bite hard: a byte-exact republished
-    article loses every line (clean_hash of the empty string)."""
-    bodies = _corpus_bodies(spark)
-    lines = bodies.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line")
-    )
-    w = Window.partitionBy("line").orderBy("doc_id", "idx")
-    flagged = lines.withColumn(
-        "keep", (F.row_number().over(w) == 1).cast("int")
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.sum("keep").cast("long").alias("n_kept"),
-        (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
-        F.md5(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep") == 1, F.struct("idx", "line"))
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-            )
-        ).alias("clean_hash"),
-    )
+    article loses every line (clean_hash of the empty string).
+
+    Implementation: operators/dedup.py line_dedup_docs (raw-line keys; the
+    md5 digest-key production variant is the same operator with
+    digest_keys=True, equality-tested at sf0.1)."""
+    return DD.line_dedup_docs(_corpus_bodies(spark))
 
 
 def _sql_line_dedup() -> str:

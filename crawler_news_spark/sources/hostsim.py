@@ -926,8 +926,16 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
     # republish one of `wire_stories` shared wire bodies, the way real news
     # sites run agency copy.  Body text is keyed by the WIRE id, not the
     # article URL, so the same story crawled on different hosts yields
-    # byte-identical paragraphs; 2/3 of republications append one local
-    # editorial note, producing high-Jaccard NEAR-duplicates instead.
+    # byte-identical paragraphs; republications then branch three ways, the
+    # three duplication modes real republishing produces:
+    #   branch 0  exact copy          (caught by exact/line-level dedup)
+    #   branch 1  + one local note    (line-level near-dup: every wire line
+    #                                  byte-identical, one extra line)
+    #   branch 2  in-line light edit  (token-level near-dup: the desk editor
+    #                                  touched EVERY paragraph, so no line
+    #                                  is byte-shared — only doc-level fuzzy
+    #                                  dedup, e.g. MinHash/LSH at ~0.85
+    #                                  shingle-Jaccard, can catch it)
     # Title/desc/author/date/images stay host-local (republishers re-chrome).
     if cfg.syndication_mod and h % cfg.syndication_mod == 0:
         # decision bits are taken from DISJOINT hash windows: the gate uses
@@ -941,11 +949,18 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
             f"Đoạn {i}: {_sentence(cfg, f'wire|{wire}|{i}', 8 + (hw >> i) % 10)}."
             for i in range(n_paras)
         ]
-        if (h >> 8) % 3 != 0:
+        branch = (h >> 8) % 3
+        if branch == 1:
             paras = paras + [
                 f"Đoạn {n_paras}: {_sentence(cfg, f'localnote|{cu}', 10)}."
             ]
             n_paras += 1
+        elif branch == 2:
+            paras = [
+                p[:-1]
+                + f", ghi nhận {_WORDS[stable_hash(f'edit|{cu}|{i}', cfg.seed) % len(_WORDS)]}."
+                for i, p in enumerate(paras)
+            ]
     author = _AUTHORS[h % len(_AUTHORS)]
     # images interleaved after paragraph positions determined by hash
     n_imgs = h % 4  # 0..3 images

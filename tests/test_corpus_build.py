@@ -23,9 +23,11 @@ def test_syndication_off_by_default():
 
 
 def test_syndicated_articles_share_wire_bodies():
-    """Articles on DIFFERENT hosts carrying the same wire story have
-    identical paragraph text (exact branch) or identical-plus-one-local-note
-    (near-dup branch)."""
+    """Articles on DIFFERENT hosts carrying the same wire story come in
+    three republication modes: byte-identical (branch 0), identical plus
+    one local note (branch 1), or per-line lightly edited (branch 2 — every
+    line differs from the wire original, but each line is the original with
+    a short editorial suffix, so shingle overlap stays high)."""
     web = hs.corpus_web()
     by_wire = collections.defaultdict(list)
     for spec in web.hosts[:10]:
@@ -37,20 +39,36 @@ def test_syndicated_articles_share_wire_bodies():
                 if h % web.syndication_mod == 0:
                     f = hs.article_fields(web, spec.host, url)
                     wire = (h >> 4) % web.wire_stories
-                    local = (h >> 8) % 3 != 0
-                    by_wire[wire].append((spec.host, local, tuple(f["paragraphs"])))
+                    branch = (h >> 8) % 3
+                    by_wire[wire].append((spec.host, branch, tuple(f["paragraphs"])))
     multi = {w: v for w, v in by_wire.items() if len(v) > 1}
     assert multi, "no wire story appeared twice in the sample"
+    seen_branches = set()
     for w, arts in multi.items():
-        # strip the local note (exactly one appended paragraph) and compare
-        cores = [p[:-1] if local else p for _, local, p in arts]
-        assert len({c for c in cores}) == 1, f"wire {w} bodies diverge"
+        # branch 0/1 copies share the byte-identical wire core (branch 1
+        # appends exactly one local note)
+        cores = [p[:-1] if branch == 1 else p
+                 for _, branch, p in arts if branch != 2]
+        assert len({c for c in cores}) <= 1, f"wire {w} bodies diverge"
+        if cores:
+            for _, branch, p in arts:
+                if branch != 2:
+                    continue
+                core = cores[0]
+                assert len(p) == len(core)
+                # every line edited, but only by an appended suffix
+                for edited, orig in zip(p, core):
+                    assert edited != orig
+                    assert edited.startswith(orig[:-1])
+        seen_branches.update(b for _, b, _p in arts)
+    assert seen_branches == {0, 1, 2}, f"missing branches: {seen_branches}"
 
 
 def test_corpus_build_every_stage_bites(spark):
     stages = Q.corpus_build_stages(spark)
     n = {k: stages[k].count() for k in (
-        "body", "bench", "corpus_raw", "corpus_quality", "corpus_exact",
+        "body", "bench", "corpus_raw", "corpus_quality", "lines",
+        "lines_noboiler", "lines_clean", "corpus_lineclean", "corpus_exact",
         "corpus_neardup", "corpus_clean", "packed")}
     pairs = stages["near_dup_pairs"].count()
     contam = stages["contaminated"].count()
@@ -58,7 +76,19 @@ def test_corpus_build_every_stage_bites(spark):
     assert n["body"] == n["bench"] + n["corpus_raw"]
     assert n["bench"] > 0
     assert n["corpus_quality"] < n["corpus_raw"]          # quality gate bites
-    assert n["corpus_exact"] < n["corpus_quality"]        # exact dups removed
+    assert n["lines_noboiler"] < n["lines"]               # boilerplate bites
+    assert n["lines_clean"] < n["lines_noboiler"]         # line dedup bites
+    # line stages drop the docs they empty (exact wire copies lose every
+    # line to keep-first; >=3-copy wire bodies are boilerplate wholesale)
+    assert n["corpus_lineclean"] < n["corpus_quality"]
+    # exact dedup is provably subsumed by corpus-wide keep-first line
+    # dedup: any byte-identical pair of docs has byte-identical lines, so
+    # the higher-id copy loses every line and vanishes at reassembly.  The
+    # stage remains as a guard against post-cleaning text collisions.
+    assert n["corpus_exact"] == n["corpus_lineclean"]
+    # the in-line-perturbed syndication branch (hostsim branch 2) shares no
+    # byte-identical LINES with its wire siblings, so it rides through the
+    # line stages untouched — only doc-level shingle LSH catches it
     assert pairs > 0                                      # LSH finds near-dups
     assert n["corpus_neardup"] < n["corpus_exact"]        # near-dups removed
     assert contam > 0                                     # eval contamination found
@@ -66,7 +96,8 @@ def test_corpus_build_every_stage_bites(spark):
     assert n["packed"] == n["corpus_clean"]               # packing is 1:1
     # regression pin on the deterministic fixture (crawl of corpus_web)
     assert n["body"] == 323
-    assert n["packed"] == 208
+    assert (n["lines"], n["lines_noboiler"], n["lines_clean"]) == (1244, 1011, 975)
+    assert (n["corpus_lineclean"], n["corpus_neardup"], n["packed"]) == (255, 236, 231)
 
 
 def test_corpus_build_matches_duckdb_oracle(spark):
@@ -116,7 +147,7 @@ def test_corpus_update_every_stage_bites(spark):
     assert n["accepted"] < n["incoming_noexact"]  # near-dups dropped
     # regression pin on the deterministic fixture
     assert (n["day2"], n["incoming"], n["incoming_noexact"], n["accepted"]) == \
-        (112, 110, 106, 80)
+        (112, 110, 106, 81)
 
 
 def test_cross_pairs_only_new_vs_old(spark):
@@ -136,7 +167,7 @@ def test_line_dedup_invariants(spark):
     assert len(out) == 323
     kept = sum(r["n_kept"] for r in out)
     dropped = sum(r["n_dropped"] for r in out)
-    assert dropped == 343                      # pinned fixture duplication
+    assert dropped == 230                      # pinned fixture duplication
     # distinct lines across the corpus == survivors
     bodies = Q._corpus_bodies(spark).collect()
     distinct = len({ln for r in bodies for ln in r["text"].split("\n")})
@@ -152,7 +183,7 @@ def test_boilerplate_strip_invariants(spark):
     keep-first line dedup)."""
     out = {r["doc_id"]: r for r in Q.q_boilerplate_strip(spark, "").collect()}
     assert len(out) == 323
-    assert sum(r["n_stripped"] for r in out.values()) == 422
+    assert sum(r["n_stripped"] for r in out.values()) == 255
     bodies = Q._corpus_bodies(spark).collect()
     from collections import Counter
     df = Counter()

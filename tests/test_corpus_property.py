@@ -109,17 +109,39 @@ def corpus_build_py(bodies: dict[str, str]) -> list[tuple[str, int, int, int]]:
         ):
             kept.append(d)
 
-    # exact dedup: min doc_id per md5(body)
-    by_hash: dict[str, str] = {}
+    # jusText-style boilerplate strip (a line in >= CB_BOILER_DF distinct
+    # docs is removed everywhere) then C4-style keep-first line dedup
+    # (corpus-wide, ordered by (doc_id, idx)), then reassembly — docs that
+    # lose every line drop out
+    doc_lines = {d: tagged[d][0].split("\n") for d in kept}
+    line_docs: dict[str, set] = {}
     for d in kept:
-        hh = hashlib.md5(tagged[d][0].encode()).hexdigest()
+        for ln in set(doc_lines[d]):
+            line_docs.setdefault(ln, set()).add(d)
+    boiler = {ln for ln, ds in line_docs.items() if len(ds) >= Q.CB_BOILER_DF}
+    seen_lines: set[str] = set()
+    cleaned: dict[str, str] = {}
+    for d in sorted(kept):
+        out_lines = []
+        for ln in doc_lines[d]:
+            if ln in boiler or ln in seen_lines:
+                continue
+            seen_lines.add(ln)
+            out_lines.append(ln)
+        if out_lines:
+            cleaned[d] = "\n".join(out_lines)
+
+    # exact dedup: min doc_id per md5(cleaned body)
+    by_hash: dict[str, str] = {}
+    for d in cleaned:
+        hh = hashlib.md5(cleaned[d].encode()).hexdigest()
         if hh not in by_hash or d < by_hash[hh]:
             by_hash[hh] = d
     corpus2 = sorted(by_hash.values())
 
     # minhash near-dup removal (drop doc_b of every thresholded pair)
-    sigs = {d: minhash_sigs_py(tagged[d][0]) for d in corpus2}
-    shingles = {d: shingle_set_py(tagged[d][0]) for d in corpus2}
+    sigs = {d: minhash_sigs_py(cleaned[d]) for d in corpus2}
+    shingles = {d: shingle_set_py(cleaned[d]) for d in corpus2}
     drops = set()
     for i, a in enumerate(corpus2):
         for b in corpus2[i + 1 :]:
@@ -139,15 +161,18 @@ def corpus_build_py(bodies: dict[str, str]) -> list[tuple[str, int, int, int]]:
                 drops.add(b)
     corpus3 = [d for d in corpus2 if d not in drops]
 
-    # decontamination vs the bench 5-gram set
-    def grams5(d: str) -> set[str]:
-        w = WS.findall(tagged[d][0].strip())
+    # decontamination vs the bench 5-gram set (bench keeps its RAW text —
+    # line cleaning applies to the training corpus only)
+    def grams5(text: str) -> set[str]:
+        w = WS.findall(text.strip())
         return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
 
     bench_set = set()
     for d in bench:
-        bench_set |= grams5(d)
-    corpus4 = [d for d in corpus3 if len(grams5(d) & bench_set) < Q.CB_MIN_SHARED]
+        bench_set |= grams5(tagged[d][0])
+    corpus4 = [
+        d for d in corpus3 if len(grams5(cleaned[d]) & bench_set) < Q.CB_MIN_SHARED
+    ]
 
     # packing
     n = len(corpus4)
@@ -156,7 +181,7 @@ def corpus_build_py(bodies: dict[str, str]) -> list[tuple[str, int, int, int]]:
     per_shard: dict[int, list[tuple[int, str, int]]] = {}
     for d in corpus4:
         h = doc_hash(d)
-        tok = len(WS.findall(tagged[d][0].strip()))
+        tok = len(WS.findall(cleaned[d].strip()))
         per_shard.setdefault(h % n_shards, []).append((h, d, tok))
     for shard, items in per_shard.items():
         cum = 0

@@ -1,0 +1,134 @@
+"""Streaming incremental corpus ingest (VERDICT r05 item 6): the batch
+corpus_update pipeline as a foreachBatch job — cross-LSH per micro-batch
+against the existing corpus, exactly-once accepted-doc appends across a
+sink crash + restart, and end-state equality with the batch oracle."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawler_news_spark import queries as Q
+from crawler_news_spark.streaming import corpus_ingest as CI
+
+
+def _write_docs(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _start(spark, req_dir, existing, out, ckpt, batch_fn):
+    stream = spark.readStream.schema(CI.DOC_SCHEMA).json(req_dir)
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_streaming_ingest_equals_batch_corpus_update(spark, tmp_path):
+    """Stream the corpus_update fixture's day-2 intake in three
+    micro-batches (sorted split => every exact group arrives min-id-first):
+    the accepted set equals the batch pipeline's 81 accepted docs exactly,
+    across an injected sink crash + restart."""
+    stages = Q.corpus_update_stages(spark)
+    existing = stages["existing"].persist()
+    day2 = sorted(
+        (r["doc_id"], r["text"]) for r in stages["day2"].collect()
+    )
+    batch_ids = sorted(r["doc_id"] for r in stages["accepted"].collect())
+    assert len(batch_ids) == 81
+
+    req_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(req_dir)
+
+    third = len(day2) // 3
+    chunks = [day2[:third], day2[third: 2 * third], day2[2 * third:]]
+
+    state = {"fail_next": False, "done": []}
+
+    def batch_fn(df, epoch_id):
+        if state["fail_next"]:
+            state["fail_next"] = False
+            raise RuntimeError("injected crash before epoch commit")
+        CI.ingest_batch(spark, df, existing, out, epoch_id)
+        state["done"].append(epoch_id)
+
+    # batch 0
+    _write_docs(os.path.join(req_dir, "a.json"), chunks[0])
+    q = _start(spark, req_dir, existing, out, ckpt, batch_fn)
+    q.processAllAvailable()
+    q.stop()
+    assert state["done"] == [0]
+
+    # batch 1 crashes before commit, then replays on restart with the SAME
+    # epoch id — the epoch-keyed overwrite makes the append idempotent
+    _write_docs(os.path.join(req_dir, "b.json"), chunks[1])
+    state["fail_next"] = True
+    q = _start(spark, req_dir, existing, out, ckpt, batch_fn)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    assert state["done"] == [0]
+
+    q = _start(spark, req_dir, existing, out, ckpt, batch_fn)
+    q.processAllAvailable()
+    # batch 2
+    _write_docs(os.path.join(req_dir, "c.json"), chunks[2])
+    q.processAllAvailable()
+    q.stop()
+    assert state["done"] == [0, 1, 2]
+
+    got = CI.read_accepted(spark, out)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == len(set(ids))  # exactly once, no replay duplicates
+    assert ids == batch_ids  # end state == the batch corpus_update oracle
+    existing.unpersist()
+
+
+def test_ingest_batch_drops_cross_batch_exact_dups(spark, tmp_path):
+    """A doc whose body was accepted in an EARLIER epoch is rejected by the
+    fingerprint anti-join even though it is not in the existing corpus, and
+    crashed-epoch partials (no _SUCCESS) are invisible to that check."""
+    existing = spark.createDataFrame(
+        [("old-1", "một văn bản hoàn toàn khác biệt trong kho cũ")],
+        "doc_id string, text string",
+    )
+    out = str(tmp_path / "acc")
+
+    b0 = spark.createDataFrame(
+        [("new-5", "nội dung mới thứ nhất xuất hiện hôm nay"),
+         ("new-9", "nội dung mới thứ nhất xuất hiện hôm nay"),  # in-batch dup
+         ("new-7", "bài viết độc lập không trùng lặp gì cả")],
+        "doc_id string, text string",
+    )
+    CI.ingest_batch(spark, b0, existing, out, 0)
+    acc0 = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert acc0 == {"new-5", "new-7"}  # keep-min within the batch
+
+    # epoch 1: one exact copy of an epoch-0 acceptance, one exact copy of
+    # the existing corpus, one genuinely new doc
+    b1 = spark.createDataFrame(
+        [("new-11", "nội dung mới thứ nhất xuất hiện hôm nay"),
+         ("new-12", "một văn bản hoàn toàn khác biệt trong kho cũ"),
+         ("new-13", "tin tức cuối cùng chưa từng thấy bao giờ")],
+        "doc_id string, text string",
+    )
+    CI.ingest_batch(spark, b1, existing, out, 1)
+    acc = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert acc == {"new-5", "new-7", "new-13"}
+
+    # a crashed epoch 2 left partial files without _SUCCESS: invisible
+    part = os.path.join(out, "epoch=2")
+    os.makedirs(part)
+    with open(os.path.join(part, "part-000.parquet"), "w") as f:
+        f.write("junk")
+    assert {r["doc_id"] for r in CI.read_accepted(spark, out).collect()} == acc
+    dirs = CI._committed_epoch_dirs(out, 10)
+    assert part not in dirs
