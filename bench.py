@@ -40,7 +40,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 QUERY_FAMILIES = [
     ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint"], True),
     ("text", ["token_count", "lang_id", "quality_score",
-              "repetition_quality", "decontaminate"], True),
+              "repetition_quality", "decontaminate", "tfidf_top_terms"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",
                 "top_keywords"], True),
     ("neardup", ["minhash_signatures", "minhash_near_dups",
@@ -55,7 +55,7 @@ QUERY_FAMILIES = [
                "group_count", "top_revenue_nations"], True),
     ("olap3", ["shipping_priority", "length_percentiles", "promo_revenue",
                "supplier_geography", "order_priority_count"], True),
-    ("corpus", ["corpus_build"], False),
+    ("corpus", ["corpus_build", "corpus_stage_counts"], False),
 ]
 
 BENCH_QUERIES = [q for _f, qs, _r in QUERY_FAMILIES for q in qs]

@@ -1958,9 +1958,9 @@ def _sql_corpus_update() -> str:
 """
 
 
-def _sql_corpus_build() -> str:
-    """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
-    span export (scripts/export_corpus_oracle.py)."""
+def _corpus_build_ctes() -> str:
+    """The corpus_build pipeline's full CTE chain (shared WITH-prefix of
+    _sql_corpus_build and _sql_corpus_stage_counts)."""
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -2103,11 +2103,68 @@ def _sql_corpus_build() -> str:
                                     // {CB_DOCS_PER_SHARD}) AS INT) AS shard
       FROM base
     )
+"""
+
+
+def _sql_corpus_build() -> str:
+    """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
+    span export (scripts/export_corpus_oracle.py)."""
+    return _corpus_build_ctes() + f"""
     SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
            CAST((sum(tok) OVER (PARTITION BY shard ORDER BY h_u, doc_id
                                 ROWS UNBOUNDED PRECEDING) - tok)
                 // {CB_PACK_BUDGET} AS BIGINT) AS bin_id
     FROM sharded
+"""
+
+
+# (Spark stage key, SQL CTE name, unit) for the stage-count observability
+# query — the orders must match corpus_build_stages' dict.
+_CB_STAGE_MAP = [
+    ("body", "tagged", "docs"),
+    ("bench", "bench", "docs"),
+    ("corpus_raw", "corpus0", "docs"),
+    ("corpus_quality", "corpus1", "docs"),
+    ("lines", "lines", "lines"),
+    ("lines_noboiler", "lines1", "lines"),
+    ("lines_clean", "lines2", "lines"),
+    ("corpus_lineclean", "corpus1c", "docs"),
+    ("corpus_exact", "corpus2", "docs"),
+    ("corpus_neardup", "corpus3", "docs"),
+    ("corpus_clean", "corpus4", "docs"),
+    ("packed", "sharded", "docs"),
+]
+
+
+def q_corpus_stage_counts(spark, sf_dir):
+    """Per-stage row counts of the composed corpus_build pipeline — the
+    stage-bite observability surface (every production corpus build reports
+    this table; it is how silent-stage regressions are caught).  One
+    aggregate per stage over the SAME composed lineage, unioned; no
+    driver-side .count() loop."""
+    from functools import reduce
+
+    st = corpus_build_stages(spark)
+    parts = [
+        st[key].agg(F.count("*").alias("n")).select(
+            F.lit(i).alias("stage_no"),
+            F.lit(key).alias("stage"),
+            F.lit(unit).alias("unit"),
+            F.col("n"),
+        )
+        for i, (key, _cte, unit) in enumerate(_CB_STAGE_MAP)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _sql_corpus_stage_counts() -> str:
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS stage_no, '{key}' AS stage, '{unit}' AS unit, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {cte}"
+        for i, (key, cte, unit) in enumerate(_CB_STAGE_MAP)
+    )
+    return _corpus_build_ctes() + f"""
+    {selects}
 """
 
 
@@ -2302,6 +2359,71 @@ def _sql_boilerplate_strip() -> str:
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf over the documents table — the
+    keyword-extraction step of a training-data/search pipeline.
+
+    Integer-only scoring (score = tf * ((n_docs * 1000) div df)) so the
+    oracle is floating-point-free: libm's ln differs in the last ulp across
+    engines and a floor() at a tie boundary would flake the hash.
+
+    Scale shape: tf is a (doc, term) hash aggregate; df a term hash
+    aggregate (vocabulary-sized — broadcast-able in production but joined
+    generically here); the in-plan 1-row count crossJoin replaces a
+    driver-side count(); top-3 is a window partitioned by doc_id (high
+    cardinality, group size = distinct terms per doc)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    n = docs.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.expr("(_n * 1000) div df_")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "score")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df_ FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * (((SELECT count(*) FROM documents) * 1000) // df_)
+                  AS BIGINT) AS score
+      FROM tf JOIN dfreq USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, score
+    FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2362,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_strip": q_boilerplate_strip,
         "near_dup_components": q_near_dup_components,
+        "corpus_stage_counts": q_corpus_stage_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -2422,4 +2546,6 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "boilerplate_strip": _sql_boilerplate_strip(),
         "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+        "corpus_stage_counts": _sql_corpus_stage_counts(),
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     }

@@ -195,3 +195,17 @@ def test_boilerplate_strip_invariants(spark):
         lines = r["text"].split("\n")
         expect_kept = [ln for ln in lines if ln not in boiler]
         assert out[r["doc_id"]]["n_kept"] == len(expect_kept)
+
+
+def test_corpus_stage_counts_consistent(spark):
+    """The stage-count observability query agrees with the stages dict and
+    is monotone along each unit's pipeline axis."""
+    rows = {r["stage"]: r for r in
+            Q.q_corpus_stage_counts(spark, "").collect()}
+    assert [r for r in sorted(rows.values(), key=lambda r: r["stage_no"])]
+    n = {k: rows[k]["n"] for k in rows}
+    assert n["body"] == n["bench"] + n["corpus_raw"]
+    assert n["lines"] > n["lines_noboiler"] > n["lines_clean"]
+    assert (n["corpus_quality"] > n["corpus_lineclean"] >= n["corpus_exact"]
+            > n["corpus_neardup"] > n["corpus_clean"] == n["packed"])
+    assert rows["lines"]["unit"] == "lines" and rows["packed"]["unit"] == "docs"

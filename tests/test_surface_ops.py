@@ -213,3 +213,36 @@ def test_session_window_equals_lag_sessionize(spark):
     a = sorted((r["user_id"], r["n_events"]) for r in native.collect())
     b = sorted((r["user_id"], r["n_events"]) for r in lag_based.collect())
     assert a == b
+
+
+def test_tfidf_top_terms_invariants(spark):
+    """Per-doc ranks are 1..3 with scores non-increasing; the top term's
+    score matches a hand-computed tf * ((n*1000) div df)."""
+    from crawler_news_spark import queries as Q
+
+    out = Q.q_tfidf_top_terms(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+    # independent recomputation for one doc
+    import collections
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    n = len(docs)
+    tf_all = {d["doc_id"]: collections.Counter(d["text"].split()) for d in docs}
+    df = collections.Counter()
+    for c in tf_all.values():
+        df.update(c.keys())
+    doc0 = docs[0]["doc_id"]
+    scored = sorted(
+        ((tf * ((n * 1000) // df[w]), w) for w, tf in tf_all[doc0].items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    got = [(r["score"], r["term"]) for r in sorted(by_doc[doc0], key=lambda r: r["rank"])]
+    assert got == scored
