@@ -38,7 +38,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # own crawl whose cross-run memo would make a re-run measure the warm path,
 # so it keeps single-attempt first-run semantics.
 QUERY_FAMILIES = [
-    ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint"], True),
+    ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint",
+               "dup_span_report"], True),
     ("text", ["token_count", "lang_id", "quality_score",
               "repetition_quality", "decontaminate", "tfidf_top_terms"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",

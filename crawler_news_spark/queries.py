@@ -1681,6 +1681,13 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         & (TX.quality_score(F.col("text")) >= CB_MIN_QUALITY_U)
         & (TX.dup_ngram_frac_u(F.lit(""), 3, tokens=F.col("_w")) <= CB_MAX_DUP3_U)
     ).select("doc_id", "text")
+    # the quality gate's regex-heavy scan feeds both line stages and (via
+    # them) everything downstream; corpus_stage_counts fans 13 count
+    # branches over this dict, so the shared prefix is kept in a keyed
+    # cache slot (one generation per session — operators/_cache.py)
+    from .operators import _cache
+
+    corpus1 = _cache.claim("corpus_build.corpus1", corpus1)
 
     # line-level cleaning: explode once, strip corpus-frequent lines
     # (hash agg + anti-join — no window), then keep-first dedup the rest
@@ -1714,11 +1721,12 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         ).alias("text")
     )
 
-    corpus2 = (
+    corpus2 = _cache.claim(
+        "corpus_build.corpus2",
         corpus1c.withColumn("content_hash", F.md5("text"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
     )
 
     pairs = DD.minhash_near_dups(corpus2, threshold_u=CB_JACCARD_U)
@@ -2400,6 +2408,89 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+DUP_SPAN_K = 8  # token-window width for substring-level dedup
+
+
+def q_dup_span_report(spark, sf_dir):
+    """Exact substring-level duplication report (the third dedup family
+    after whole-doc exact and doc-level near-dup — Lee et al. 2021
+    deduplicate exact token spans that recur anywhere in the corpus):
+    per document, how many of its K-token windows occur more than once
+    CORPUS-WIDE, and the duplicated fraction in parts-per-million.
+
+    Scale shape: explode to (doc, pos, window-string), one hash aggregate
+    on the window string to find recurring windows (group size = that
+    window's recurrence count — bounded by corpus duplication, like
+    line_dedup), broadcast-able/shuffle hash join back, one per-doc
+    aggregate.  No window function at all.  The petabyte knob is the same
+    as line_dedup_docs: key the aggregate on a 128-bit digest of the
+    window instead of the raw string; the raw-string form keeps the DuckDB
+    twin collision-proof by construction."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    k = DUP_SPAN_K
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+                )
+            ).alias("w"),
+        )
+    )
+    dup_w = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("w")
+    )
+    flagged = wins.join(dup_w, "w", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    return (
+        wins.groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.floor(
+                F.coalesce("n_dup", F.lit(0)) * 1_000_000 / F.col("n_windows")
+            ).cast("long").alias("dup_frac_u"),
+        )
+    )
+
+
+SQL_DUP_SPAN_REPORT = rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             list_aggregate(t[CAST(i AS INT):CAST(i AS INT) + {DUP_SPAN_K - 1}],
+                            'string_agg', ' ') AS w
+      FROM toks, unnest(generate_series(1, len(t) - {DUP_SPAN_K - 1})) u(i)
+      WHERE len(t) >= {DUP_SPAN_K}
+    ), dup_w AS (
+      SELECT w FROM wins GROUP BY w HAVING count(*) > 1
+    ), flagged AS (
+      SELECT doc_id, count(*) AS n_dup FROM wins
+      WHERE w IN (SELECT w FROM dup_w) GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(a.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(f.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(floor(coalesce(f.n_dup, 0) * 1000000.0 / a.n_windows)
+                AS BIGINT) AS dup_frac_u
+    FROM (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id) a
+    LEFT JOIN flagged f USING (doc_id)
+"""
+
+
 SQL_TFIDF_TOP_TERMS = r"""
     WITH words AS (
       SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
@@ -2486,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "corpus_stage_counts": q_corpus_stage_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dup_span_report": q_dup_span_report,
     }
 
 
@@ -2548,4 +2640,5 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
         "corpus_stage_counts": _sql_corpus_stage_counts(),
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "dup_span_report": SQL_DUP_SPAN_REPORT,
     }

@@ -246,3 +246,33 @@ def test_tfidf_top_terms_invariants(spark):
     )[:3]
     got = [(r["score"], r["term"]) for r in sorted(by_doc[doc0], key=lambda r: r["rank"])]
     assert got == scored
+
+
+def test_dup_span_report_invariants(spark):
+    """Exact duplicate docs share every window (dup_frac 100%); counts
+    match an independent Python recount at sf0.001."""
+    import collections
+
+    from crawler_news_spark import queries as Q
+
+    out = {r["doc_id"]: r for r in
+           Q.q_dup_span_report(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    k = Q.DUP_SPAN_K
+    wins = {}
+    occ = collections.Counter()
+    for d in docs:
+        t = d["text"].split()
+        ws = [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)] if len(t) >= k else []
+        if ws:
+            wins[d["doc_id"]] = ws
+            occ.update(ws)
+    assert set(out) == set(wins)
+    for doc_id, ws in wins.items():
+        n_dup = sum(1 for w in ws if occ[w] > 1)
+        r = out[doc_id]
+        assert r["n_windows"] == len(ws)
+        assert r["n_dup_windows"] == n_dup
+        assert r["dup_frac_u"] == int(n_dup * 1_000_000 / len(ws))
+    # the fixture's exact-dup docs make the report bite
+    assert any(r["n_dup_windows"] > 0 for r in out.values())
