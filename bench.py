@@ -47,7 +47,7 @@ QUERY_FAMILIES = [
     ("neardup", ["minhash_signatures", "minhash_near_dups",
                  "simhash_near_dups", "winnow_pairs"], True),
     ("ann", ["cosine_topk", "lsh_topk", "ivf_topk", "ann_recall",
-             "embedding_near_dups_lsh"], True),
+             "embedding_near_dups_lsh", "semantic_dedup"], True),
     ("media", ["images_metadata", "media_metadata", "media_resize",
                "media_features"], True),
     ("olap1", ["pricing_summary", "sessionize", "windowed_counts",

@@ -388,6 +388,33 @@ def _cluster_stats(q: DataFrame, cent: np.ndarray) -> list:
     )
 
 
+def _kmeans_centroids(
+    q: DataFrame, n_clusters: int, n_iter: int, id_col: str
+) -> np.ndarray:
+    """md5-ordered pivot seeding + ``n_iter`` integer-k-means rounds — the
+    deterministic coarse quantizer shared by :func:`ivf_topk` and
+    :func:`semantic_dedup`.  ``q`` must carry (id_col, q) with q the
+    quantized int64 vector.  Driver state is only the (n_clusters x dim)
+    centroid matrix."""
+    piv = (
+        q.select(id_col, "q", F.md5(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = np.array([r["q"] for r in piv], dtype=np.int64)
+
+    for _ in range(n_iter):
+        rows = _cluster_stats(q, cent)
+        counts = {r["cluster"]: int(r["n0"]) for r in rows if r["d"] == 0}
+        new = cent.copy()
+        for r in rows:
+            j = r["cluster"]
+            new[j, r["d"]] = _fdiv(int(r["s"]), counts[j])
+        cent = new
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -426,23 +453,7 @@ def ivf_topk(
     # without it each pass re-scans the source and re-quantizes
     q = _cache.claim("ivf_topk.q", e.withColumn("q", _quantize(F.col("e"))))
 
-    piv = (
-        q.select(id_col, "q", F.md5(F.col(id_col).cast("string")).alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(n_clusters)
-        .collect()
-    )
-    cent = np.array([r["q"] for r in piv], dtype=np.int64)
-    dim = cent.shape[1]
-
-    for _ in range(n_iter):
-        rows = _cluster_stats(q, cent)
-        counts = {r["cluster"]: int(r["n0"]) for r in rows if r["d"] == 0}
-        new = cent.copy()
-        for r in rows:
-            j = r["cluster"]
-            new[j, r["d"]] = _fdiv(int(r["s"]), counts[j])
-        cent = new
+    cent = _kmeans_centroids(q, n_clusters, n_iter, id_col)
 
     clustered = _assign_clusters(q, cent, id_col)
 
@@ -502,21 +513,23 @@ def ivf_topk(
     )
 
 
-def sql_ivf_topk(
-    n_queries: int = 5,
-    k: int = 10,
-    n_clusters: int = 16,
-    n_probe: int = 4,
-    n_iter: int = 2,
-    dim: int = 64,
+def _sql_kmeans_ctes(
+    n_clusters: int,
+    n_iter: int,
+    dim: int,
+    e_body: str = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings",
+    head: str = "WITH ",
 ) -> str:
-    """DuckDB twin of :func:`ivf_topk`: md5-ordered pivots, ``n_iter``
-    unrolled integer-k-means rounds, integer probe selection, cosine scoring."""
+    """CTE chain of the deterministic integer k-means — md5-ordered pivots,
+    ``n_iter`` unrolled rounds, final full assignment ``fassign`` plus its
+    dot table ``fdots`` — the SQL twin of :func:`_kmeans_centroids` +
+    :func:`_assign_clusters`, shared by :func:`sql_ivf_topk` and
+    :func:`sql_semantic_dedup`."""
     quant = SQL_QUANTIZE.format(e="e")
     parts = [
         f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    {head}e AS (
+      {e_body}
     ), qv AS (
       SELECT vec_id, {quant} AS q FROM e
     ), qd AS (
@@ -561,7 +574,22 @@ def sql_ivf_topk(
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
         FROM fdots) WHERE rn = 1
-    ), probes AS (
+    )""")
+    return "".join(parts)
+
+
+def sql_ivf_topk(
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk`: md5-ordered pivots, ``n_iter``
+    unrolled integer-k-means rounds, integer probe selection, cosine scoring."""
+    return _sql_kmeans_ctes(n_clusters, n_iter, dim) + f"""
+    , probes AS (
       SELECT vec_id AS query_id, cluster FROM (
         SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
@@ -583,8 +611,103 @@ def sql_ivf_topk(
     )
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim_u
     FROM ranked WHERE rank <= {k}
-    """)
-    return "".join(parts)
+    """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold_u: int = 900_000,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding corpus with the same deterministic integer coarse
+    quantizer as :func:`ivf_topk`, score cosine similarity ONLY within each
+    cluster, and drop the higher-id member of every pair at or above
+    ``threshold_u`` micro-cosine.  Returns the kept rows (id, cluster).
+
+    This completes the dedup ladder the reference lacks entirely: exact
+    (md5) -> shingle MinHash/SimHash (surface near-dup) -> semantic
+    (meaning-level near-dup that shares no shingles).
+
+    Scale shape: the pairwise stage is cluster-local — O(sum_j m_j^2) with
+    m_j ~ n/n_clusters, tuned by ``n_clusters`` exactly as SemDeDup does
+    (50k clusters at web scale keeps every m_j small); the self-join
+    shuffles on `cluster`, never cross-joins the corpus, and the k-means
+    passes keep only the (n_clusters x dim) centroid matrix on the driver.
+    """
+    from . import _cache
+
+    e = emb.select(id_col, _as_double(F.col(vec_col)).alias("e"))
+    # persisted: the k-means loop makes n_iter+1 passes, then the pair join
+    # scans the assignment twice
+    q = _cache.claim("semantic_dedup.q", e.withColumn("q", _quantize(F.col("e"))))
+    cent = _kmeans_centroids(q, n_clusters, n_iter, id_col)
+    clustered = _assign_clusters(q, cent, id_col)
+
+    a = clustered.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "cluster"
+    ).withColumn("na", _norm(F.col("ea")))
+    b = clustered.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "cluster"
+    ).withColumn("nb", _norm(F.col("eb")))
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim_u",
+            F.floor(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 1e6
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .filter(F.col("sim_u") >= threshold_u)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return clustered.join(drops, id_col, "left_anti").select(id_col, "cluster")
+
+
+def sql_semantic_dedup(
+    threshold_u: int = 900_000,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    planted: bool = True,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (over :func:`planted_embeddings`
+    when ``planted``) — same k-means CTE chain as the IVF twin, then
+    cluster-local pairwise cosine and a keep-lowest-id anti-join."""
+    if planted:
+        planted_body = SQL_PLANTED_EMB.strip().removeprefix("WITH ")
+        head = f"WITH {planted_body}\n    , "
+        e_body = "SELECT vec_id, e FROM pl"
+    else:
+        head = "WITH "
+        e_body = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings"
+    return _sql_kmeans_ctes(n_clusters, n_iter, dim, e_body=e_body, head=head) + f"""
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM fassign a
+      JOIN fassign b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE CAST(floor(list_cosine_similarity(ea.e, eb.e) * 1e6 + 0.5) AS BIGINT)
+            >= {threshold_u}
+    ), drops AS (
+      SELECT DISTINCT id_b FROM pairs
+    )
+    SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster
+    FROM fassign f
+    WHERE f.vec_id NOT IN (SELECT id_b FROM drops)
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -1423,6 +1423,16 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return SIM.embedding_near_dups(emb, threshold_u=900_000)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    deterministic integer k-means over the planted embedding corpus, then
+    cluster-LOCAL pairwise cosine with keep-lowest-id — the meaning-level
+    rung of the dedup ladder (exact md5 -> shingle MinHash/SimHash ->
+    embedding cosine), pairwise cost bounded by cluster size n/k."""
+    emb = SIM.planted_embeddings(load(spark, sf_dir, "embeddings"))
+    return SIM.semantic_dedup(emb, threshold_u=900_000)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal family
 # ---------------------------------------------------------------------------
@@ -2565,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "winnow_pairs": q_winnow_pairs,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "media_metadata": q_media_metadata,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
@@ -2626,6 +2637,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _sql_ann_recall(5, 10),
         "embedding_near_dups_lsh": SIM.sql_embedding_near_dups_lsh(
             900_000, n_planes=8, dim=64, seed=42
+        ),
+        "semantic_dedup": SIM.sql_semantic_dedup(
+            900_000, n_clusters=16, n_iter=2, dim=64
         ),
         "media_metadata": SQL_MEDIA_META,
         "frame_sample": SQL_FRAME_SAMPLE,
