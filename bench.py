@@ -39,7 +39,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # so it keeps single-attempt first-run semantics.
 QUERY_FAMILIES = [
     ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint",
-               "dup_span_report"], True),
+               "dup_span_report", "dup_span_dedup"], True),
     ("text", ["token_count", "lang_id", "quality_score",
               "repetition_quality", "decontaminate", "tfidf_top_terms"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",

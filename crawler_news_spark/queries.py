@@ -2501,6 +2501,115 @@ SQL_DUP_SPAN_REPORT = rf"""
 """
 
 
+def q_dup_span_dedup(spark, sf_dir):
+    """Exact substring-level deduplication (the removal counterpart of
+    ``dup_span_report`` — Lee et al. 2021 delete every duplicated token
+    span except its first corpus occurrence): a K-token window that occurs
+    more than once keeps only its global-first (doc_id, pos) occurrence;
+    every token covered by a non-first duplicated window is removed, and
+    documents reassemble from their surviving tokens (a byte-identical
+    copy loses every token — substring dedup subsumes whole-doc exact
+    dedup, mirroring the corpus_build line-dedup insight one level down).
+
+    Scale shape: hash aggregate keyed on the WINDOW STRING (group size =
+    that window's recurrence count, never corpus size) with a min-struct
+    first-occurrence agg — no window function anywhere; coverage expansion
+    is a bounded explode (x{K}); reassembly is one per-doc aggregate.  The
+    petabyte knob is the same as line_dedup_docs: aggregate on a 128-bit
+    digest of the window for fixed-width shuffle keys."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    k = DUP_SPAN_K
+    tok = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+                )
+            ).alias("pos", "w"),
+        )
+    )
+    first = (
+        wins.groupBy("w")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("occ") > 1)
+        .select("w", "first")
+    )
+    flagged = (
+        wins.join(first, "w")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    covered = flagged.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p")
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    totals = docs.select("doc_id", F.size(toks).alias("n_total"))
+    return out.join(totals, "doc_id").select(
+        "doc_id",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("n_total") - F.col("n_kept")).cast("long").alias("n_removed"),
+        "text",
+    )
+
+
+SQL_DUP_SPAN_DEDUP = rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS p, t[CAST(i AS INT)] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) u(i)
+    ), wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             list_aggregate(t[CAST(i AS INT):CAST(i AS INT) + {DUP_SPAN_K - 1}],
+                            'string_agg', ' ') AS w
+      FROM toks, unnest(generate_series(1, len(t) - {DUP_SPAN_K - 1})) u(i)
+      WHERE len(t) >= {DUP_SPAN_K}
+    ), ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY w) AS occ
+      FROM wins
+    ), flagged AS (
+      SELECT doc_id, pos FROM ranked WHERE occ > 1 AND rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + CAST(j AS BIGINT) - 1 AS p
+      FROM flagged, unnest(generate_series(1, {DUP_SPAN_K})) v(j)
+    ), kept AS (
+      SELECT t.doc_id, t.p, t.tok FROM tok t
+      ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(tt.n_total) - count(*) AS BIGINT) AS n_removed,
+           string_agg(k.tok, ' ' ORDER BY k.p) AS text
+    FROM kept k
+    JOIN (SELECT doc_id, len(t) AS n_total FROM toks) tt ON tt.doc_id = k.doc_id
+    GROUP BY k.doc_id
+"""
+
+
 SQL_TFIDF_TOP_TERMS = r"""
     WITH words AS (
       SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
@@ -2589,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stage_counts": q_corpus_stage_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dup_span_report": q_dup_span_report,
+        "dup_span_dedup": q_dup_span_dedup,
     }
 
 
@@ -2655,4 +2765,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stage_counts": _sql_corpus_stage_counts(),
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "dup_span_report": SQL_DUP_SPAN_REPORT,
+        "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
     }

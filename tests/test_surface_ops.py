@@ -276,3 +276,40 @@ def test_dup_span_report_invariants(spark):
         assert r["dup_frac_u"] == int(n_dup * 1_000_000 / len(ws))
     # the fixture's exact-dup docs make the report bite
     assert any(r["n_dup_windows"] > 0 for r in out.values())
+
+
+def test_dup_span_dedup_matches_python_recount(spark):
+    """Full independent recount of substring-level dedup at sf0.001: first
+    occurrence per duplicated window survives, covered tokens vanish, docs
+    reassemble in position order; byte-identical copies disappear whole."""
+    import collections
+
+    from crawler_news_spark import queries as Q
+
+    out = {r["doc_id"]: r for r in
+           Q.q_dup_span_dedup(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    k = Q.DUP_SPAN_K
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    occ = collections.Counter()
+    first = {}
+    for doc_id in sorted(toks):
+        t = toks[doc_id]
+        for i in range(len(t) - k + 1):
+            w = " ".join(t[i:i + k])
+            occ[w] += 1
+            first.setdefault(w, (doc_id, i))
+    expected = {}
+    for doc_id, t in toks.items():
+        cov = set()
+        for i in range(len(t) - k + 1):
+            w = " ".join(t[i:i + k])
+            if occ[w] > 1 and first[w] != (doc_id, i):
+                cov.update(range(i, i + k))
+        kept = [tok for p, tok in enumerate(t) if p not in cov]
+        if kept:
+            expected[doc_id] = (len(kept), len(t) - len(kept), " ".join(kept))
+    assert {d: (r["n_kept"], r["n_removed"], r["text"]) for d, r in out.items()} \
+        == expected
+    # bite: the fixture's exact-dup copies lose every token (absent rows)
+    assert len(expected) < len(toks)
