@@ -650,7 +650,11 @@ def semantic_dedup(
     # scans the assignment twice
     q = _cache.claim("semantic_dedup.q", e.withColumn("q", _quantize(F.col("e"))))
     cent = _kmeans_centroids(q, n_clusters, n_iter, id_col)
-    clustered = _assign_clusters(q, cent, id_col)
+    # persisted too: the assignment feeds three plan legs (kept side + both
+    # sides of the pair join) — without it each leg re-runs the Arrow pass
+    clustered = _cache.claim(
+        "semantic_dedup.clustered", _assign_clusters(q, cent, id_col)
+    )
 
     a = clustered.select(
         F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "cluster"
