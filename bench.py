@@ -43,7 +43,7 @@ QUERY_FAMILIES = [
     ("text", ["token_count", "lang_id", "quality_score",
               "repetition_quality", "decontaminate", "tfidf_top_terms"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",
-                "top_keywords"], True),
+                "top_keywords", "token_budget_mix"], True),
     ("neardup", ["minhash_signatures", "minhash_near_dups",
                  "simhash_near_dups", "winnow_pairs"], True),
     ("ann", ["cosine_topk", "lsh_topk", "ivf_topk", "ann_recall",

@@ -2610,6 +2610,55 @@ SQL_DUP_SPAN_DEDUP = rf"""
 """
 
 
+TOKEN_BUDGET_PER_SOURCE = 800  # tokens each source may contribute to the mix
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Deterministic data-mixing to a per-source token budget (the sampling
+    step of domain-weighted training mixes, DoReMi/Pile-style: each source
+    contributes at most B tokens): docs are taken per source in md5(doc_id)
+    order — an unbiased deterministic shuffle both engines reproduce — while
+    the running token total stays within budget.
+
+    Scale shape: one running-sum window partitioned by SOURCE (partition
+    size = docs per source; for a pathologically dominant source the same
+    hash-sharded two-phase running sum pack_sequences uses applies — shard
+    by md5 prefix, prefix-sum shard totals, one broadcast join).  Token
+    counts are a codegen expression; no data leaves the JVM."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok"))
+    )
+
+
+SQL_TOKEN_BUDGET_MIX = rf"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM d
+    )
+    SELECT doc_id, source, n_tok, cum_tok
+    FROM c WHERE cum_tok <= {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+
 SQL_TFIDF_TOP_TERMS = r"""
     WITH words AS (
       SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS term
@@ -2699,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "dup_span_report": q_dup_span_report,
         "dup_span_dedup": q_dup_span_dedup,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -2766,4 +2816,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "dup_span_report": SQL_DUP_SPAN_REPORT,
         "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
+        "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
     }

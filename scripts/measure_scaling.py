@@ -16,7 +16,8 @@ Usage:
   python scripts/measure_scaling.py 2 [--threshold 0.93] [--max-wait 3600]
   python scripts/measure_scaling.py 8 [--threshold 0.62] [--max-wait 3600]
 
-Appends one JSON line per completed pair to dist/r05_scaling.jsonl.
+Appends one JSON line per completed pair to dist/$SCALING_OUT
+(default r06_scaling.jsonl).
 """
 
 from __future__ import annotations
@@ -109,7 +110,8 @@ def main() -> None:
         "normalized_vs_pre_ceiling": round(raw / pre["ceiling"], 3),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    with open(os.path.join(ROOT, "dist", "r05_scaling.jsonl"), "a") as f:
+    out_name = os.environ.get("SCALING_OUT", "r06_scaling.jsonl")
+    with open(os.path.join(ROOT, "dist", out_name), "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
 

@@ -313,3 +313,35 @@ def test_dup_span_dedup_matches_python_recount(spark):
         == expected
     # bite: the fixture's exact-dup copies lose every token (absent rows)
     assert len(expected) < len(toks)
+
+
+def test_token_budget_mix_matches_python_recount(spark):
+    """Greedy md5-ordered selection per source, inclusive running total
+    within budget — recounted independently at sf0.001."""
+    import hashlib
+
+    from crawler_news_spark import queries as Q
+
+    got = {(r["doc_id"], r["source"], r["n_tok"], r["cum_tok"]) for r in
+           Q.q_token_budget_mix(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    by_source = {}
+    for d in docs:
+        h = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()
+        by_source.setdefault(d["source"], []).append(
+            (h, d["doc_id"], len(d["text"].split()))
+        )
+    expected = set()
+    n_sources_cut = 0
+    for source, rows in by_source.items():
+        cum = 0
+        cut = False
+        for _h, doc_id, n_tok in sorted(rows):
+            cum += n_tok
+            if cum > Q.TOKEN_BUDGET_PER_SOURCE:
+                cut = True
+                break  # running total is monotone: nothing later qualifies
+            expected.add((doc_id, source, n_tok, cum))
+        n_sources_cut += cut
+    assert got == expected
+    assert n_sources_cut > 0  # the budget genuinely bites
