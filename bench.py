@@ -41,7 +41,8 @@ QUERY_FAMILIES = [
     ("dedup", ["exact_dedup", "keepfirst_dedup", "fingerprint",
                "dup_span_report", "dup_span_dedup"], True),
     ("text", ["token_count", "lang_id", "quality_score",
-              "repetition_quality", "decontaminate", "tfidf_top_terms"], True),
+              "repetition_quality", "decontaminate", "tfidf_top_terms",
+              "rare_token_score"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",
                 "top_keywords", "token_budget_mix"], True),
     ("neardup", ["minhash_signatures", "minhash_near_dups",

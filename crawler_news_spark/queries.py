@@ -2642,6 +2642,71 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+RARE_WEIGHT_CAP = 1000  # hapax cap: a token in 1 of N docs weighs min(N, cap)
+
+
+def q_rare_token_score(spark, sf_dir):
+    """CCNet-shape rarity scoring with integer-only arithmetic (the float
+    perplexity is replaced by a document-frequency rarity weight so the
+    cross-engine oracle is ulp-proof): weight(tok) = min(N_docs div
+    df(tok), 1000), score = floor(mean token weight * 1000).  High score =
+    rare-vocabulary document (candidate OOD/noise), low = boilerplate-heavy.
+
+    Scale shape: one explode + hash-agg for df (group size = a token's doc
+    frequency), the corpus doc count injected as a broadcast 1-row join
+    (never a driver-side count), a broadcast-able df join back, one per-doc
+    aggregate.  All arithmetic integer, JVM-side."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("_n"))
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    )
+    df_tbl = (
+        words.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.least(F.expr("_n div df"), F.lit(RARE_WEIGHT_CAP)).alias("weight"),
+        )
+    )
+    return (
+        words.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.expr("CAST(sum(weight) * 1000 div count(*) AS BIGINT)").alias(
+                "rare_score_u"
+            ),
+        )
+        .select("doc_id", "n_tok", "rare_score_u")
+    )
+
+
+SQL_RARE_TOKEN_SCORE = rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+      FROM documents
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, tok FROM words) GROUP BY tok
+    ), wt AS (
+      SELECT tok, least(n_docs // df, {RARE_WEIGHT_CAP}) AS weight FROM df, n
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(wt.weight) * 1000 // count(*) AS BIGINT) AS rare_score_u
+    FROM words w JOIN wt USING (tok)
+    GROUP BY w.doc_id
+"""
+
+
 SQL_TOKEN_BUDGET_MIX = rf"""
     WITH d AS (
       SELECT doc_id, source,
@@ -2749,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_report": q_dup_span_report,
         "dup_span_dedup": q_dup_span_dedup,
         "token_budget_mix": q_token_budget_mix,
+        "rare_token_score": q_rare_token_score,
     }
 
 
@@ -2817,4 +2883,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_report": SQL_DUP_SPAN_REPORT,
         "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
         "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
+        "rare_token_score": SQL_RARE_TOKEN_SCORE,
     }

@@ -345,3 +345,28 @@ def test_token_budget_mix_matches_python_recount(spark):
         n_sources_cut += cut
     assert got == expected
     assert n_sources_cut > 0  # the budget genuinely bites
+
+
+def test_rare_token_score_matches_python_recount(spark):
+    """Integer rarity scoring recounted independently at sf0.001."""
+    import collections
+
+    from crawler_news_spark import queries as Q
+
+    got = {r["doc_id"]: (r["n_tok"], r["rare_score_u"]) for r in
+           Q.q_rare_token_score(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    n_docs = len(docs)
+    df = collections.Counter()
+    for t in toks.values():
+        df.update(set(t))
+    weight = {tok: min(n_docs // c, Q.RARE_WEIGHT_CAP) for tok, c in df.items()}
+    expected = {}
+    for doc_id, t in toks.items():
+        if t:
+            expected[doc_id] = (len(t), sum(weight[w] for w in t) * 1000 // len(t))
+    assert got == expected
+    # rarity must actually discriminate on the fixture
+    scores = [s for _n, s in got.values()]
+    assert min(scores) < max(scores)
