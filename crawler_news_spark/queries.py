@@ -2517,7 +2517,12 @@ def q_dup_span_dedup(spark, sf_dir):
     is a bounded explode (x{K}); reassembly is one per-doc aggregate.  The
     petabyte knob is the same as line_dedup_docs: aggregate on a 128-bit
     digest of the window for fixed-width shuffle keys."""
-    docs = load(spark, sf_dir, "documents")
+    return _dup_span_dedup_frame(load(spark, sf_dir, "documents"))
+
+
+def _dup_span_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of :func:`q_dup_span_dedup` over any (doc_id, text)
+    table — reused by the 10x replication-invariance spot-check."""
     toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     k = DUP_SPAN_K
     tok = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
