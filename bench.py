@@ -42,7 +42,7 @@ QUERY_FAMILIES = [
                "dup_span_report", "dup_span_dedup"], True),
     ("text", ["token_count", "lang_id", "quality_score",
               "repetition_quality", "decontaminate", "tfidf_top_terms",
-              "rare_token_score"], True),
+              "rare_token_score", "vocab_oov_rate", "ngram_novelty"], True),
     ("sample", ["hash_sample", "stratified_sample", "pack_sequences",
                 "top_keywords", "token_budget_mix"], True),
     ("neardup", ["minhash_signatures", "minhash_near_dups",

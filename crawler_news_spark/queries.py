@@ -2647,6 +2647,125 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+VOCAB_SIZE = 24  # size-capped vocab: top-V tokens by (count desc, token asc)
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage report: build the SIZE-CAPPED word vocabulary
+    (the top-V most frequent tokens — the fixed-budget selection every
+    word/BPE tokenizer build makes) and report each document's
+    out-of-vocabulary token count + ppm rate — the coverage table a
+    vocab-size decision is made against.
+
+    Scale shape: one explode, one vocab hash agg (group size = a token's
+    corpus count), a DISTRIBUTED top-V (`orderBy().limit()` compiles to
+    TakeOrderedAndProject — per-partition top-V then a V-row merge, never a
+    global sort), one join back (the vocab dim is exactly V rows —
+    broadcast), one per-doc agg; integer-only ppm.  Tie-break at the cut is
+    (count desc, token asc) in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    )
+    vocab = (
+        words.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("_v"))
+    )
+    return (
+        words.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(sum(CASE WHEN _v IS NULL THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("oov_frac_u"),
+        )
+        .select("doc_id", "n_tok", "n_oov", "oov_frac_u")
+    )
+
+
+SQL_VOCAB_OOV_RATE = rf"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM words GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT {VOCAB_SIZE}
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS oov_frac_u
+    FROM words w LEFT JOIN vocab v USING (tok)
+    GROUP BY w.doc_id
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus-novelty report (the curation-side dual of dup_span_report):
+    per document, how many of its DISTINCT word-3-grams first appear in THIS
+    document (global first = min doc_id), as count + ppm.  Rising corpus
+    positions with low novelty are what dedup/curation passes trim first.
+
+    Scale shape: the shared distinct-gram explode (_word_ngrams, pure
+    codegen), one min hash agg keyed on the gram (group size = a gram's doc
+    frequency), one join back, one per-doc agg — no windows, nothing
+    driver-side."""
+    grams = _word_ngrams(load(spark, sf_dir, "documents"), 3)
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("novelty_u"),
+        )
+        .select("doc_id", "n_grams", "n_novel", "novelty_u")
+    )
+
+
+SQL_NGRAM_NOVELTY = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t FROM documents
+    ), g0 AS (
+      SELECT doc_id,
+             list_aggregate(t[CAST(i AS INT):CAST(i AS INT) + 2],
+                            'string_agg', ' ') AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) u(i)
+      WHERE len(t) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM g0
+    ), first AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS novelty_u
+    FROM grams gr JOIN first f USING (g)
+    GROUP BY gr.doc_id
+"""
+
+
 RARE_WEIGHT_CAP = 1000  # hapax cap: a token in 1 of N docs weighs min(N, cap)
 
 
@@ -2820,6 +2939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_dedup": q_dup_span_dedup,
         "token_budget_mix": q_token_budget_mix,
         "rare_token_score": q_rare_token_score,
+        "vocab_oov_rate": q_vocab_oov_rate,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -2889,4 +3010,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
         "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
         "rare_token_score": SQL_RARE_TOKEN_SCORE,
+        "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
     }

@@ -370,3 +370,50 @@ def test_rare_token_score_matches_python_recount(spark):
     # rarity must actually discriminate on the fixture
     scores = [s for _n, s in got.values()]
     assert min(scores) < max(scores)
+
+
+def test_vocab_oov_rate_matches_python_recount(spark):
+    """Size-capped top-V vocab + per-doc OOV ppm, recounted at sf0.001."""
+    import collections
+
+    from crawler_news_spark import queries as Q
+
+    got = {r["doc_id"]: (r["n_tok"], r["n_oov"], r["oov_frac_u"]) for r in
+           Q.q_vocab_oov_rate(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    cnt = collections.Counter(w for t in toks.values() for w in t)
+    vocab = {w for w, _c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+             [:Q.VOCAB_SIZE]}
+    expected = {}
+    for doc_id, t in toks.items():
+        if t:
+            oov = sum(1 for w in t if w not in vocab)
+            expected[doc_id] = (len(t), oov, oov * 1_000_000 // len(t))
+    assert got == expected
+    assert any(o for _n, o, _f in got.values())  # OOV tokens exist
+
+
+def test_ngram_novelty_matches_python_recount(spark):
+    """Distinct-3-gram first-occurrence novelty, recounted at sf0.001."""
+    from crawler_news_spark import queries as Q
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_u"]) for r in
+           Q.q_ngram_novelty(spark, "/root/testdata/sf0.001").collect()}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").collect()
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    grams = {d: {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+             for d, t in toks.items() if len(t) >= 3}
+    first = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    expected = {}
+    for doc_id, gs in grams.items():
+        if gs:
+            novel = sum(1 for g in gs if first[g] == doc_id)
+            expected[doc_id] = (len(gs), novel, novel * 1_000_000 // len(gs))
+    assert got == expected
+    # exact-dup docs give zero novelty to the higher id — the report bites
+    assert any(n == 0 for _g, n, _u in got.values())
+    assert any(n == g for g, n, _u in got.values())
