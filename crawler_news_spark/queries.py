@@ -2878,7 +2878,26 @@ SQL_TFIDF_TOP_TERMS = r"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate oracles the FIRST 50
+    # entries in dict-insertion order.  Entries that have never had a
+    # driver-artifact row are therefore kept at the FRONT; long-proven
+    # entries (driver-checked in earlier rounds, still covered by the
+    # builder's full 3-SF gate in CORRECTNESS_SF*.json) rotate to the back.
     return {
+        # --- rotated to front in r07: never driver-checked before ---
+        "corpus_update": q_corpus_update,
+        "line_dedup": q_line_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
+        "near_dup_components": q_near_dup_components,
+        "corpus_stage_counts": q_corpus_stage_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dup_span_report": q_dup_span_report,
+        "dup_span_dedup": q_dup_span_dedup,
+        "token_budget_mix": q_token_budget_mix,
+        "rare_token_score": q_rare_token_score,
+        "vocab_oov_rate": q_vocab_oov_rate,
+        "ngram_novelty": q_ngram_novelty,
+        # --- driver-proven in r05/r06; stays within the first-50 window ---
         "keepfirst_dedup": q_keepfirst_dedup,
         "dup_groups": q_dup_groups,
         "exact_dedup": q_exact_dedup,
@@ -2929,23 +2948,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
         "corpus_build": q_corpus_build,
-        "corpus_update": q_corpus_update,
-        "line_dedup": q_line_dedup,
-        "boilerplate_strip": q_boilerplate_strip,
-        "near_dup_components": q_near_dup_components,
-        "corpus_stage_counts": q_corpus_stage_counts,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "dup_span_report": q_dup_span_report,
-        "dup_span_dedup": q_dup_span_dedup,
-        "token_budget_mix": q_token_budget_mix,
-        "rare_token_score": q_rare_token_score,
-        "vocab_oov_rate": q_vocab_oov_rate,
-        "ngram_novelty": q_ngram_novelty,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # Mirrors queries() ordering (see the ordering note there).
     return {
+        "corpus_update": _sql_corpus_update(),
+        "line_dedup": _sql_line_dedup(),
+        "boilerplate_strip": _sql_boilerplate_strip(),
+        "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
+        "corpus_stage_counts": _sql_corpus_stage_counts(),
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "dup_span_report": SQL_DUP_SPAN_REPORT,
+        "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
+        "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
+        "rare_token_score": SQL_RARE_TOKEN_SCORE,
+        "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
         "keepfirst_dedup": SQL_KEEPFIRST,
         "dup_groups": SQL_DUP_GROUPS,
         "exact_dedup": SQL_EXACT_DEDUP,
@@ -3000,16 +3020,4 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _sql_winnow_pairs(20, 1000),
         "crawl_flagship": _sql_crawl_flagship(),
         "corpus_build": _sql_corpus_build(),
-        "corpus_update": _sql_corpus_update(),
-        "line_dedup": _sql_line_dedup(),
-        "boilerplate_strip": _sql_boilerplate_strip(),
-        "near_dup_components": SQL_NEAR_DUP_COMPONENTS,
-        "corpus_stage_counts": _sql_corpus_stage_counts(),
-        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
-        "dup_span_report": SQL_DUP_SPAN_REPORT,
-        "dup_span_dedup": SQL_DUP_SPAN_DEDUP,
-        "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
-        "rare_token_score": SQL_RARE_TOKEN_SCORE,
-        "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
-        "ngram_novelty": SQL_NGRAM_NOVELTY,
     }
