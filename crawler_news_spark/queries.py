@@ -2618,6 +2618,9 @@ SQL_DUP_SPAN_DEDUP = rf"""
 TOKEN_BUDGET_PER_SOURCE = 800  # tokens each source may contribute to the mix
 
 
+TOKEN_BUDGET_SHARDS = 4096  # order-preserving range buckets of the md5 key
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Deterministic data-mixing to a per-source token budget (the sampling
     step of domain-weighted training mixes, DoReMi/Pile-style: each source
@@ -2625,12 +2628,30 @@ def q_token_budget_mix(spark, sf_dir):
     order — an unbiased deterministic shuffle both engines reproduce — while
     the running token total stays within budget.
 
-    Scale shape: one running-sum window partitioned by SOURCE (partition
-    size = docs per source; for a pathologically dominant source the same
-    hash-sharded two-phase running sum pack_sequences uses applies — shard
-    by md5 prefix, prefix-sum shard totals, one broadcast join).  Token
-    counts are a codegen expression; no data leaves the JVM."""
+    Scale shape (hash-sharded two-phase prefix sum — no window ever
+    partitions by source alone):
+
+    1. RANGE-shard each source on the first 40 bits of the md5 order key
+       (``shard = h40 div 2^40/S`` — monotone in the key, so shard order IS
+       md5 order and shard boundaries respect the global per-source order).
+    2. Per-(source, shard) token totals (hash agg), then EXCLUSIVE shard
+       offsets via a prefix-sum window over at most S=4096 rows per source
+       — bounded constant work at any corpus size.
+    3. Budget prune: offsets are monotone in shard order, so shards with
+       ``offset > B`` are a suffix that no row can survive — dropped
+       wholesale by the join.  What remains is ~B tokens worth of docs
+       (plus the boundary shard) regardless of corpus size.
+    4. Within-shard running sum (window keyed (source, shard) — group size
+       = surviving docs per shard) + the shard offset = the exact global
+       running total.
+
+    A pathologically dominant source therefore costs one 4096-row offset
+    window and a handful of boundary-shard tasks, never a single-task
+    near-global prefix sum.  Token counts are a codegen expression; no data
+    leaves the JVM."""
     docs = load(spark, sf_dir, "documents")
+    # 2^40 / TOKEN_BUDGET_SHARDS — monotone bucketing of the 40-bit prefix
+    bucket_width = (1 << 40) // TOKEN_BUDGET_SHARDS
     d = docs.select(
         "doc_id",
         "source",
@@ -2638,12 +2659,37 @@ def q_token_budget_mix(spark, sf_dir):
             F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
         ).cast("long").alias("n_tok"),
         F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn(
+        "_shard",
+        F.expr(
+            f"cast(conv(substr(_h, 1, 10), 16, 10) as bigint) div {bucket_width}"
+        ).cast("int"),
     )
-    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("source", "_shard")
+        .agg(F.sum("n_tok").alias("_shard_tok"))
+        .withColumn("_off", F.coalesce(F.sum("_shard_tok").over(w_off), F.lit(0)))
+        .filter(F.col("_off") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("source", "_shard", "_off")
+    )
+    w_in = (
+        Window.partitionBy("source", "_shard")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        d.withColumn("cum_tok", F.sum("n_tok").over(w))
+        d.join(offsets, ["source", "_shard"])
+        .withColumn("cum_tok", F.col("_off") + F.sum("n_tok").over(w_in))
         .filter(F.col("cum_tok") <= TOKEN_BUDGET_PER_SOURCE)
-        .select("doc_id", "source", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok"))
+        .select(
+            "doc_id", "source", "n_tok",
+            F.col("cum_tok").cast("long").alias("cum_tok"),
+        )
     )
 
 

@@ -347,6 +347,57 @@ def test_token_budget_mix_matches_python_recount(spark):
     assert n_sources_cut > 0  # the budget genuinely bites
 
 
+def test_token_budget_mix_dominant_source_sharded(spark, tmp_path):
+    """The r06-verdict scale fix: with one source owning >=95% of docs the
+    running sum must NOT run as a single-task window partitioned by source
+    alone — the row-level window is keyed (source, shard) and only the
+    bounded shard-offset table is windowed per source.  Output equality is
+    recounted in pure python on the skewed input."""
+    import hashlib
+    import re
+
+    from crawler_news_spark import queries as Q
+
+    rows = []
+    for i in range(400):  # 400 of 410 docs (97.6%) in one source
+        rows.append((i, "megasource", "en", "tok " * ((i % 37) + 1)))
+    for i in range(400, 410):
+        rows.append((i, f"tail{i % 3}", "en", "w " * ((i % 5) + 1)))
+    docs = spark.createDataFrame(
+        [(d, s, lg, t.strip()) for d, s, lg, t in rows],
+        "doc_id long, source string, lang string, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = Q.q_token_budget_mix(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bad shape: partition by source alone, order by the md5 key — the
+    # row-level near-global prefix sum the r06 verdict flagged
+    assert not re.search(r"windowspecdefinition\(source#\d+, _h#", plan), plan
+    # the good shape must be present: row window keyed (source, shard)
+    assert re.search(r"windowspecdefinition\(source#\d+, _shard#\d+, _h#", plan), plan
+
+    got = {(r["doc_id"], r["source"], r["n_tok"], r["cum_tok"])
+           for r in out.collect()}
+    by_source = {}
+    for d, s, _lg, t in rows:
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        by_source.setdefault(s, []).append((h, d, len(t.split())))
+    expected = set()
+    for source, srows in by_source.items():
+        cum = 0
+        for _h, doc_id, n_tok in sorted(srows):
+            cum += n_tok
+            if cum > Q.TOKEN_BUDGET_PER_SOURCE:
+                break
+            expected.add((doc_id, source, n_tok, cum))
+    assert got == expected
+    # the dominant source is genuinely cut (the budget boundary is crossed)
+    n_mega_kept = sum(1 for r in got if r[1] == "megasource")
+    assert 0 < n_mega_kept < 400
+
+
 def test_rare_token_score_matches_python_recount(spark):
     """Integer rarity scoring recounted independently at sf0.001."""
     import collections
