@@ -57,7 +57,8 @@ QUERY_FAMILIES = [
                "group_count", "top_revenue_nations"], True),
     ("olap3", ["shipping_priority", "length_percentiles", "promo_revenue",
                "supplier_geography", "order_priority_count"], True),
-    ("corpus", ["corpus_build", "corpus_stage_counts"], False),
+    ("corpus", ["corpus_build", "corpus_build_semantic",
+                "corpus_stage_counts"], False),
 ]
 
 BENCH_QUERIES = [q for _f, qs, _r in QUERY_FAMILIES for q in qs]

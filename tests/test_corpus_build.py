@@ -10,6 +10,9 @@ import collections
 from crawler_news_spark import queries as Q
 from crawler_news_spark.sources import hostsim as hs
 
+# deterministic corpus_web fixture pins (r07: 4 syndication branches)
+CORPUS_UPDATE_PINS = (112, 111, 109, 88)  # day2, incoming, noexact, accepted
+
 
 def test_syndication_off_by_default():
     """default_web must be byte-identical with syndication off — the
@@ -24,10 +27,13 @@ def test_syndication_off_by_default():
 
 def test_syndicated_articles_share_wire_bodies():
     """Articles on DIFFERENT hosts carrying the same wire story come in
-    three republication modes: byte-identical (branch 0), identical plus
-    one local note (branch 1), or per-line lightly edited (branch 2 — every
+    four republication modes: byte-identical (branch 0), identical plus
+    one local note (branch 1), per-line lightly edited (branch 2 — every
     line differs from the wire original, but each line is the original with
-    a short editorial suffix, so shingle overlap stays high)."""
+    a short editorial suffix, so shingle overlap stays high), or fully
+    PARAPHRASED (branch 3 — every word swapped for its reversed-surface
+    synonym and the order reshuffled, so no char-5-gram shingles survive;
+    only the semantic rung can see it)."""
     web = hs.corpus_web()
     by_wire = collections.defaultdict(list)
     for spec in web.hosts[:10]:
@@ -39,29 +45,53 @@ def test_syndicated_articles_share_wire_bodies():
                 if h % web.syndication_mod == 0:
                     f = hs.article_fields(web, spec.host, url)
                     wire = (h >> 4) % web.wire_stories
-                    branch = (h >> 8) % 3
+                    branch = (h >> 8) % web.wire_branches
                     by_wire[wire].append((spec.host, branch, tuple(f["paragraphs"])))
     multi = {w: v for w, v in by_wire.items() if len(v) > 1}
     assert multi, "no wire story appeared twice in the sample"
+
+    def canon_bag(line: str) -> frozenset:
+        # synonym-class bag: prefix + punctuation-stripped least(w, rev(w))
+        pre, _, body = line.partition(": ")
+        toks = [t.translate(str.maketrans("", "", ".,:")) for t in body.split()]
+        return (pre, frozenset(min(t, t[::-1]) for t in toks))
+
     seen_branches = set()
     for w, arts in multi.items():
         # branch 0/1 copies share the byte-identical wire core (branch 1
         # appends exactly one local note)
         cores = [p[:-1] if branch == 1 else p
-                 for _, branch, p in arts if branch != 2]
+                 for _, branch, p in arts if branch in (0, 1)]
         assert len({c for c in cores}) <= 1, f"wire {w} bodies diverge"
         if cores:
+            core = cores[0]
             for _, branch, p in arts:
-                if branch != 2:
-                    continue
-                core = cores[0]
-                assert len(p) == len(core)
-                # every line edited, but only by an appended suffix
-                for edited, orig in zip(p, core):
-                    assert edited != orig
-                    assert edited.startswith(orig[:-1])
+                if branch == 2:
+                    assert len(p) == len(core)
+                    # every line edited, but only by an appended suffix
+                    for edited, orig in zip(p, core):
+                        assert edited != orig
+                        assert edited.startswith(orig[:-1])
+                elif branch == 3:
+                    assert len(p) == len(core)
+                    for para, orig in zip(p, core):
+                        assert para != orig
+                        # no 5-char shingle survives beyond the 'Đoạn i: '
+                        # prefix — LSH-invisible by construction
+                        o_body = orig.partition(": ")[2]
+                        p_body = para.partition(": ")[2]
+                        shingles = {o_body[i:i + 5]
+                                    for i in range(len(o_body) - 4)}
+                        overlap = sum(p_body[i:i + 5] in shingles
+                                      for i in range(len(p_body) - 4))
+                        assert overlap <= 2, (para, orig)
+                        # ... but the synonym-class bag differs by exactly
+                        # the one spliced interjection word
+                        pb, ob = canon_bag(para), canon_bag(orig)
+                        assert pb[0] == ob[0]
+                        assert len(pb[1] - ob[1]) <= 1 and ob[1] <= pb[1]
         seen_branches.update(b for _, b, _p in arts)
-    assert seen_branches == {0, 1, 2}, f"missing branches: {seen_branches}"
+    assert seen_branches == {0, 1, 2, 3}, f"missing branches: {seen_branches}"
 
 
 def test_corpus_build_every_stage_bites(spark):
@@ -94,10 +124,41 @@ def test_corpus_build_every_stage_bites(spark):
     assert contam > 0                                     # eval contamination found
     assert n["corpus_clean"] < n["corpus_neardup"]        # decontamination bites
     assert n["packed"] == n["corpus_clean"]               # packing is 1:1
-    # regression pin on the deterministic fixture (crawl of corpus_web)
+    # regression pin on the deterministic fixture (crawl of corpus_web —
+    # since r07 the web plants a 4th, PARAPHRASED syndication branch, which
+    # shares no lines/shingles and therefore rides through every stage here)
     assert n["body"] == 323
-    assert (n["lines"], n["lines_noboiler"], n["lines_clean"]) == (1244, 1011, 975)
-    assert (n["corpus_lineclean"], n["corpus_neardup"], n["packed"]) == (255, 236, 231)
+    assert (n["lines"], n["lines_noboiler"], n["lines_clean"]) == (1242, 1048, 1030)
+    assert (n["corpus_lineclean"], n["corpus_neardup"], n["packed"]) == (267, 253, 248)
+
+
+def test_corpus_build_semantic_stage_bites(spark):
+    """The optional 11th stage (SemDeDup over the centered synonym-class
+    embedding) removes exactly the planted PARAPHRASED republications —
+    docs the LSH stage is structurally blind to (no shared shingles)."""
+    stages = Q.corpus_build_stages(spark, semantic=True)
+    n3 = stages["corpus_neardup"].count()
+    n3s = stages["corpus_semantic"].count()
+    packed = stages["packed"].count()
+    assert n3s < n3                       # the semantic rung bites ...
+    # ... and catches what LSH could not: pinned on the deterministic fixture
+    assert (n3, n3s, packed) == (253, 237, 232)
+    # with the stage off, corpus_semantic is pass-through
+    off = Q.corpus_build_stages(spark, semantic=False)
+    assert off["corpus_semantic"].count() == off["corpus_neardup"].count() == 253
+    # specificity: everything the semantic rung drops is a planted wire-
+    # syndication doc (it never removes organic articles), and the planted
+    # PARAPHRASED branch is represented among the drops
+    web = hs.corpus_web()
+    kept_ids = {r["doc_id"] for r in stages["corpus_semantic"].collect()}
+    dropped = {r["doc_id"] for r in stages["corpus_neardup"].collect()} - kept_ids
+    assert len(dropped) == 253 - 237
+    branches = {}
+    for cu in dropped:
+        h = hs.stable_hash(f"doc|{cu}", web.seed)
+        assert h % web.syndication_mod == 0, f"organic doc dropped: {cu}"
+        branches[cu] = (h >> 8) % web.wire_branches
+    assert 3 in set(branches.values()), "no paraphrased doc among drops"
 
 
 def test_corpus_build_matches_duckdb_oracle(spark):
@@ -147,7 +208,7 @@ def test_corpus_update_every_stage_bites(spark):
     assert n["accepted"] < n["incoming_noexact"]  # near-dups dropped
     # regression pin on the deterministic fixture
     assert (n["day2"], n["incoming"], n["incoming_noexact"], n["accepted"]) == \
-        (112, 110, 106, 81)
+        CORPUS_UPDATE_PINS
 
 
 def test_cross_pairs_only_new_vs_old(spark):
@@ -167,7 +228,7 @@ def test_line_dedup_invariants(spark):
     assert len(out) == 323
     kept = sum(r["n_kept"] for r in out)
     dropped = sum(r["n_dropped"] for r in out)
-    assert dropped == 230                      # pinned fixture duplication
+    assert dropped == 189                      # pinned fixture duplication
     # distinct lines across the corpus == survivors
     bodies = Q._corpus_bodies(spark).collect()
     distinct = len({ln for r in bodies for ln in r["text"].split("\n")})
@@ -183,7 +244,7 @@ def test_boilerplate_strip_invariants(spark):
     keep-first line dedup)."""
     out = {r["doc_id"]: r for r in Q.q_boilerplate_strip(spark, "").collect()}
     assert len(out) == 323
-    assert sum(r["n_stripped"] for r in out.values()) == 255
+    assert sum(r["n_stripped"] for r in out.values()) == 234
     bodies = Q._corpus_bodies(spark).collect()
     from collections import Counter
     df = Counter()

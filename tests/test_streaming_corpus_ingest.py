@@ -33,7 +33,7 @@ def _start(spark, req_dir, existing, out, ckpt, batch_fn):
 def test_streaming_ingest_equals_batch_corpus_update(spark, tmp_path):
     """Stream the corpus_update fixture's day-2 intake in three
     micro-batches (sorted split => every exact group arrives min-id-first):
-    the accepted set equals the batch pipeline's 81 accepted docs exactly,
+    the accepted set equals the batch pipeline's 88 accepted docs exactly,
     across an injected sink crash + restart."""
     stages = Q.corpus_update_stages(spark)
     existing = stages["existing"].persist()
@@ -41,7 +41,7 @@ def test_streaming_ingest_equals_batch_corpus_update(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in stages["day2"].collect()
     )
     batch_ids = sorted(r["doc_id"] for r in stages["accepted"].collect())
-    assert len(batch_ids) == 81
+    assert len(batch_ids) == 88
 
     req_dir = str(tmp_path / "docs")
     out = str(tmp_path / "accepted")
