@@ -2544,7 +2544,15 @@ def q_dup_span_report(spark, sf_dir):
     as line_dedup_docs: key the aggregate on a 128-bit digest of the
     window instead of the raw string; the raw-string form keeps the DuckDB
     twin collision-proof by construction."""
-    docs = load(spark, sf_dir, "documents")
+    return _dup_span_report_frame(load(spark, sf_dir, "documents"))
+
+
+def _dup_span_report_frame(docs: DataFrame, digest_keys: bool = False) -> DataFrame:
+    """Frame-level body of :func:`q_dup_span_report` over any (doc_id,
+    text) table.  ``digest_keys`` is the petabyte knob: aggregate and join
+    on md5(window) — fixed-width 128-bit shuffle keys instead of K-token
+    strings (the identical trade line_dedup_docs makes; equality-tested on
+    the re-lined sf0.1 fixture)."""
     toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     k = DUP_SPAN_K
     wins = (
@@ -2560,6 +2568,8 @@ def q_dup_span_report(spark, sf_dir):
             ).alias("w"),
         )
     )
+    if digest_keys:
+        wins = wins.select("doc_id", F.md5("w").alias("w"))
     dup_w = (
         wins.groupBy("w")
         .agg(F.count("*").alias("occ"))
@@ -2628,9 +2638,12 @@ def q_dup_span_dedup(spark, sf_dir):
     return _dup_span_dedup_frame(load(spark, sf_dir, "documents"))
 
 
-def _dup_span_dedup_frame(docs: DataFrame) -> DataFrame:
+def _dup_span_dedup_frame(docs: DataFrame, digest_keys: bool = False) -> DataFrame:
     """Frame-level body of :func:`q_dup_span_dedup` over any (doc_id, text)
-    table — reused by the 10x replication-invariance spot-check."""
+    table — reused by the 10x replication-invariance spot-check.
+    ``digest_keys`` aggregates/joins on md5(window) — fixed-width 128-bit
+    shuffle keys — instead of the raw K-token strings (the petabyte knob;
+    equality-tested on the re-lined sf0.1 fixture)."""
     toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     k = DUP_SPAN_K
     tok = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
@@ -2647,6 +2660,8 @@ def _dup_span_dedup_frame(docs: DataFrame) -> DataFrame:
             ).alias("pos", "w"),
         )
     )
+    if digest_keys:
+        wins = wins.select("doc_id", "pos", F.md5("w").alias("w"))
     first = (
         wins.groupBy("w")
         .agg(

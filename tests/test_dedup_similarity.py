@@ -462,3 +462,24 @@ def test_line_dedup_digest_keys_equal_raw_sf01(spark):
     assert sorted(map(tuple, raw)) == sorted(map(tuple, dig))
     # sanity: the fixture actually has duplicated lines to dedup
     assert sum(r["n_dropped"] for r in raw) > 0
+
+
+def test_dup_span_digest_keys_equal_raw_sf01(spark):
+    """The span family's petabyte knob (aggregate keyed on md5(window) —
+    fixed-width 128-bit shuffle keys instead of K-token strings) is
+    result-identical to the raw-string plan on the full sf0.1 documents
+    table, whose closed 31-token vocabulary makes 8-token windows recur
+    corpus-wide by the thousands."""
+    from crawler_news_spark import queries as Q
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    rep_raw = Q._dup_span_report_frame(docs, digest_keys=False).collect()
+    rep_dig = Q._dup_span_report_frame(docs, digest_keys=True).collect()
+    assert sorted(map(tuple, rep_raw)) == sorted(map(tuple, rep_dig))
+    assert sum(r["n_dup_windows"] for r in rep_raw) > 0   # knob has work to do
+
+    ded_raw = Q._dup_span_dedup_frame(docs, digest_keys=False).collect()
+    ded_dig = Q._dup_span_dedup_frame(docs, digest_keys=True).collect()
+    assert sorted(map(tuple, ded_raw)) == sorted(map(tuple, ded_dig))
+    assert sum(r["n_removed"] for r in ded_raw) > 0
