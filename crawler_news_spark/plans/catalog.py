@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,15 +40,41 @@ class CommitConflictError(RuntimeError):
 # metastore's atomic pointer swap — the CAS check + manifest replace must be
 # one indivisible step or two racing threads could both pass the check.
 # Cross-process atomicity is the production catalog's job (Iceberg does it
-# in the metastore commit).
-_COMMIT_MUTEXES: dict[str, threading.Lock] = {}
+# in the metastore commit).  The registry is weak-valued so a long-lived
+# process creating many temp-dir catalogs (the bench/test loop's
+# corpus_cat_* roots) does not leak one lock per dead root: the entry lives
+# exactly as long as some CrawlCatalog instance holds its mutex.
+class _Mutex:
+    """Weakref-able lock holder (a bare ``threading.Lock`` is a C object the
+    weak registry cannot reference); usable as a context manager."""
+
+    __slots__ = ("_lock", "__weakref__")
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        self._lock.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._lock.release()
+
+
+_COMMIT_MUTEXES: "weakref.WeakValueDictionary[str, _Mutex]" = (
+    weakref.WeakValueDictionary()
+)
 _COMMIT_MUTEXES_GUARD = threading.Lock()
 
 
-def _commit_mutex(root: str) -> threading.Lock:
+def _commit_mutex(root: str) -> _Mutex:
     key = os.path.realpath(root)
     with _COMMIT_MUTEXES_GUARD:
-        return _COMMIT_MUTEXES.setdefault(key, threading.Lock())
+        m = _COMMIT_MUTEXES.get(key)
+        if m is None:
+            m = _Mutex()
+            _COMMIT_MUTEXES[key] = m
+        return m
 
 
 class CrawlCatalog:
@@ -239,14 +266,21 @@ class CrawlCatalog:
         recovered = 0
         if os.path.isdir(tdir):
             for d in sorted(os.listdir(tdir)):
-                if not d.startswith("_compacting"):
-                    continue
+                if not d.startswith("_compacting") or "orphaned" in d:
+                    continue  # (quarantined dirs stay put for manual review)
                 prior = os.path.join(tdir, d)
                 suffix = d.removeprefix("_compacting").lstrip("-")
-                if not suffix.isdigit() or not os.path.exists(
-                    os.path.join(prior, "_SUCCESS")
-                ):
-                    _sh.rmtree(prior)  # legacy name or crashed mid-write
+                committed = os.path.exists(os.path.join(prior, "_SUCCESS"))
+                if not committed:
+                    _sh.rmtree(prior)  # crashed mid-write: safe to discard
+                    continue
+                if not suffix.isdigit():
+                    # legacy suffix-less attempt that DID commit: it may be
+                    # the only copy of the table's data (pre-horizon code
+                    # crashed after removing its last source dir), so never
+                    # delete — quarantine under a stable name instead
+                    _sh.rmtree(prior + "-orphaned", ignore_errors=True)
+                    os.rename(prior, prior + "-orphaned")
                     continue
                 prior_upto = int(suffix)
                 pdirs = self._committed_dirs(table, prior_upto)
@@ -256,7 +290,10 @@ class CrawlCatalog:
                 if os.path.exists(pdest):  # uncommitted debris at the slot
                     _sh.rmtree(pdest)
                 os.rename(prior, pdest)
-                recovered = max(len(pdirs), 1)
+                # accumulated, not assigned: the at-most-one-prior-attempt
+                # invariant can be violated by manual intervention, and the
+                # return value must still report every recovered dir
+                recovered += max(len(pdirs), 1)
 
         dirs = self._committed_dirs(table, upto)
         if not dirs:

@@ -350,3 +350,36 @@ def test_compaction_discards_uncommitted_compacting_debris(spark, cat):
 
     assert cat.compact("t", 1) == 2
     assert _rows(cat.read_upto("t", 1)) == before
+
+
+def test_compaction_quarantines_committed_legacy_dir(spark, cat):
+    """A suffix-less '_compacting' dir WITH _SUCCESS (pre-horizon code that
+    committed its snapshot, possibly holding the only copy of the data) is
+    never deleted: recovery quarantines it to '_compacting-orphaned' and
+    leaves it there across subsequent compactions (ADVICE r06)."""
+    import shutil
+
+    for w, rows in enumerate([[(1, "a")], [(2, "b")]]):
+        cat.write("t", w, _df(spark, rows), parts=1)
+        cat.commit_wave(w, {})
+    legacy_rows = _rows(cat.read_upto("t", 1))
+
+    # Simulate the legacy crash state: a COMMITTED suffix-less _compacting
+    # that is the ONLY copy of the data (all source dirs already removed).
+    tmp = os.path.join(cat.root, "t", "_compacting")
+    cat.read_upto("t", 1).coalesce(1).write.mode("overwrite").parquet(tmp)
+    for d in list(os.listdir(os.path.join(cat.root, "t"))):
+        if d.startswith("wave-"):
+            shutil.rmtree(os.path.join(cat.root, "t", d))
+
+    cat.compact("t", 1)
+    q = os.path.join(cat.root, "t", "_compacting-orphaned")
+    assert os.path.isdir(q) and os.path.exists(os.path.join(q, "_SUCCESS"))
+    assert not os.path.isdir(tmp)
+    # the quarantined data is intact and manually recoverable
+    assert _rows(spark.read.parquet(q).select("k", "v")) == legacy_rows
+    # a second compaction leaves the quarantine untouched (no rename loop)
+    cat.write("t", 2, _df(spark, [(3, "c")]), parts=1)
+    cat.commit_wave(2, {})
+    cat.compact("t", 2)
+    assert os.path.isdir(q)
