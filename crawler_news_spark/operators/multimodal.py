@@ -39,34 +39,53 @@ def synth_media(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def decode_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
+def decode_media(
+    media: DataFrame, real_codecs: bool = False, codec=None
+) -> DataFrame:
     """Decode + feature-extract as an Arrow-batched operator.
 
-    real_codecs=True is the production path (PIL/ffmpeg) — unavailable in
-    this container, so it raises; the stub path derives deterministic
-    pseudo-metadata from the payload bytes (md5-seeded: each dimension uses
-    its own 32-bit hex chunk, so a plain-SQL engine can reproduce it with
-    BIGINT arithmetic), keeping schema, batching and partitioning behavior
-    identical to the real kernel.
+    ``codec`` is the injectable decode seam (the same pattern as the upload
+    sink's caller-supplied transport — plans/sinks.py): a picklable callable
+    ``codec(raw: bytes, kind: str) -> (width, height, n_frames)`` applied to
+    each payload inside the Arrow batch loop.  In production it wraps
+    PIL/ffmpeg; tests prove the seam with a deterministic fake that parses a
+    synthetic header.  The operator itself always computes the
+    payload-level columns (n_bytes, content_md5) — only the decode proper is
+    delegated.
+
+    With no codec injected, real_codecs=True is the production default path
+    (PIL/ffmpeg) — unavailable in this container, so it raises; the stub
+    path derives deterministic pseudo-metadata from the payload bytes
+    (md5-seeded: each dimension uses its own 32-bit hex chunk, so a
+    plain-SQL engine can reproduce it with BIGINT arithmetic), keeping
+    schema, batching and partitioning behavior identical to the real
+    kernel.
     """
-    if real_codecs:
+    if real_codecs and codec is None:
         raise NotImplementedError(
             "image/audio codecs are not available in this environment; "
-            "run with real_codecs=False for the deterministic stub"
+            "inject one via codec=... or run with real_codecs=False for "
+            "the deterministic stub"
         )
+
+    def stub_codec(raw: bytes, kind: str) -> tuple[int, int, int]:
+        hx = hashlib.md5(raw).hexdigest()
+        h1, h2, h3 = (int(hx[k : k + 8], 16) for k in (0, 8, 16))
+        return 16 + h2 % 1920, 16 + h3 % 1080, 1 + h1 % 240
+
+    decode = codec or stub_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes, md5s, widths, heights, frames = [], [], [], [], []
-            for b in pdf["media_bytes"]:
+            for b, kind in zip(pdf["media_bytes"], pdf["media_kind"]):
                 raw = bytes(b)
-                hx = hashlib.md5(raw).hexdigest()
-                h1, h2, h3 = (int(hx[k : k + 8], 16) for k in (0, 8, 16))
                 n_bytes.append(len(raw))
-                md5s.append(hx)
-                widths.append(16 + h2 % 1920)
-                heights.append(16 + h3 % 1080)
-                frames.append(1 + h1 % 240)
+                md5s.append(hashlib.md5(raw).hexdigest())
+                w, h, nf = decode(raw, kind)
+                widths.append(int(w))
+                heights.append(int(h))
+                frames.append(int(nf))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

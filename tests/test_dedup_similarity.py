@@ -156,6 +156,36 @@ def test_media_decode_stub(spark, planted_docs):
         MM.decode_media(MM.synth_media(planted_docs), real_codecs=True)
 
 
+def test_media_decode_injected_codec(spark, planted_docs):
+    """The codec seam (caller-supplied decoder over the Arrow batches —
+    plans/sinks.py transport precedent): an injected codec's output lands
+    in the schema unchanged, the operator still computes n_bytes/md5
+    itself, and real_codecs=True is satisfied by injection."""
+
+    # nested so cloudpickle ships it by VALUE (executors cannot import the
+    # test module); deterministic fake that actually READS the payload the
+    # way a real decoder parses a header — dims from the first bytes,
+    # frame count from the kind
+    def _header_codec(raw: bytes, kind: str):
+        w = 1 + (raw[0] if raw else 0) * 4
+        h = 1 + (raw[1] if len(raw) > 1 else 0) * 2
+        nf = {"image": 1, "audio": 0}.get(kind, len(raw) % 100 + 2)
+        return w, h, nf
+
+    media = MM.synth_media(planted_docs)
+    payload = {r["doc_id"]: (bytes(r["media_bytes"]), r["media_kind"])
+               for r in media.collect()}
+    out = {r["doc_id"]: r for r in
+           MM.decode_media(media, real_codecs=True, codec=_header_codec).collect()}
+    assert len(out) == len(payload)
+    import hashlib as _hl
+    for doc_id, (raw, kind) in payload.items():
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["n_frames"]) == _header_codec(raw, kind)
+        assert r["n_bytes"] == len(raw)
+        assert r["content_md5"] == _hl.md5(raw).hexdigest()
+
+
 def test_frame_sample(spark, planted_docs):
     meta = MM.decode_media(MM.synth_media(planted_docs))
     frames = MM.frame_sample(meta, every_n=24).collect()
