@@ -736,11 +736,54 @@ _TBE_CANON_SPARK = (
 _TBE_CANON_SQL = _TBE_CANON_SPARK  # identical syntax in DuckDB
 
 
+def _tbe_dim_counts(
+    docs: DataFrame, dim: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, d) rows — one per token, hashed to its synonym-class bucket."""
+    canon = _TBE_CANON_SPARK.format(t="tok")
+    return docs.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("tok"),
+    ).select(
+        id_col,
+        F.expr(
+            f"cast(pmod(cast(conv(substr(md5({canon}), 1, 10), 16, 10) as bigint),"
+            f" {dim}) as int)"
+        ).alias("d"),
+    )
+
+
+def text_bow_background(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus unigram distribution :func:`text_bow_embedding` centers
+    against, as a broadcastable 1-row DataFrame (_gm map, _tot).  Compute it
+    once over a reference corpus and pass it as ``background=`` to embed
+    OTHER documents in the same space — the incremental-ingest contract:
+    incoming docs must be centered against the FROZEN existing-corpus
+    distribution, or their vectors are not comparable with the index."""
+    return (
+        _tbe_dim_counts(docs, dim, id_col, text_col)
+        .groupBy("d")
+        .agg(F.count("*").alias("gc"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("d", "gc"))).alias("_gm"),
+            F.sum("gc").alias("_tot"),
+        )
+    )
+
+
 def text_bow_embedding(
     docs: DataFrame,
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    background: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic document embedding for the semantic-dedup rung when no
     learned encoder is available: a mean-centered hashed bag of synonym
@@ -761,27 +804,21 @@ def text_bow_embedding(
     Scale shape: one explode, two hash aggs (per-doc-dim and the dim-row
     global), a broadcast 1-row global join, one transform — all JVM-side
     column expressions, no Python in the path; the global dim table is
-    O(dim) at any corpus size."""
-    canon = _TBE_CANON_SPARK.format(t="tok")
-    toks = docs.select(
-        id_col,
-        F.explode(
-            F.regexp_extract_all(F.trim(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
-        ).alias("tok"),
-    ).select(
-        id_col,
-        F.expr(
-            f"cast(pmod(cast(conv(substr(md5({canon}), 1, 10), 16, 10) as bigint),"
-            f" {dim}) as int)"
-        ).alias("d"),
-    )
+    O(dim) at any corpus size.
+
+    ``background`` (a :func:`text_bow_background` 1-row frame) overrides the
+    centering distribution — pass a frozen reference-corpus background to
+    embed new documents in that corpus's space (incremental SemDeDup)."""
+    toks = _tbe_dim_counts(docs, dim, id_col, text_col)
     percnt = toks.groupBy(id_col, "d").agg(F.count("*").alias("c"))
     perdoc = percnt.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("d", "c"))).alias("_m"),
         F.sum("c").alias("_n"),
     )
     glob = (
-        toks.groupBy("d")
+        background
+        if background is not None
+        else toks.groupBy("d")
         .agg(F.count("*").alias("gc"))
         .agg(
             F.map_from_entries(F.collect_list(F.struct("d", "gc"))).alias("_gm"),

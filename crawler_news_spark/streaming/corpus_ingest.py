@@ -10,7 +10,14 @@ pipeline as the batch job:
      previously accepted batch* — the skinny 32-byte-hash side of the join;
   3. banded cross-LSH near-dup rejection against the EXISTING corpus only
      (operators/dedup.py minhash_cross_near_dups: new x old bands — the
-     existing corpus is never self-joined, cost scales with the batch).
+     existing corpus is never self-joined, cost scales with the batch);
+  4. optionally, the SEMANTIC rung (incremental SemDeDup): incoming docs
+     are embedded against the corpus's FROZEN unigram background,
+     cluster-assigned against its FROZEN k-means centroids, and cosine-
+     compared with existing members of the SAME cluster only — paraphrased
+     republications that share no shingles (invisible to rung 3) are
+     rejected, at cluster-local cost that scales with the batch
+     (SemanticCrossIndex below; built once, reused across every epoch).
 
 Accepted rows are appended to an output directory KEYED ON THE EPOCH
 (``epoch={id}/``, overwrite mode) — foreachBatch is at-least-once, and the
@@ -36,8 +43,85 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
+from ..operators import similarity as SIM
 
 DOC_SCHEMA = "doc_id string, text string"
+
+
+class SemanticCrossIndex:
+    """Frozen corpus-side state for the incremental SemDeDup rung.
+
+    Built ONCE from the existing corpus: the synonym-class unigram
+    background (the centering distribution — incoming docs must be embedded
+    in the corpus's space, not their own batch's), the deterministic integer
+    k-means centroids (the same coarse quantizer semantic_dedup/ivf_topk
+    use), and the cluster-assigned member vectors.  Per epoch, only the
+    incoming docs are embedded and assigned — one Arrow pass over the batch
+    — and compared against same-cluster members: O(batch x cluster size),
+    never corpus x corpus.
+    """
+
+    def __init__(
+        self,
+        spark,
+        existing: DataFrame,
+        dim: int = 64,
+        n_clusters: int = 16,
+        n_iter: int = 2,
+        threshold_u: int = 750_000,
+    ) -> None:
+        self.dim = dim
+        self.threshold_u = threshold_u
+        self.background = SIM.text_bow_background(existing, dim=dim).persist()
+        emb = SIM.text_bow_embedding(
+            existing, dim=dim, background=self.background
+        ).select(F.col("doc_id"), F.col("embedding"))
+        q = emb.select(
+            "doc_id", SIM._as_double(F.col("embedding")).alias("e")
+        ).withColumn("q", SIM._quantize(F.col("e")))
+        self.centroids = SIM._kmeans_centroids(q, n_clusters, n_iter, "doc_id")
+        self.members = (
+            SIM._assign_clusters(q, self.centroids, "doc_id")
+            .select(
+                F.col("doc_id").alias("id_b"),
+                F.col("e").alias("eb"),
+                "cluster",
+            )
+            .withColumn("nb", SIM._norm(F.col("eb")))
+            .persist()
+        )
+
+    def cross_drops(self, incoming: DataFrame) -> DataFrame:
+        """doc_ids of incoming rows that are semantic duplicates of an
+        existing member (cosine >= threshold within the assigned cluster)."""
+        emb = SIM.text_bow_embedding(
+            incoming, dim=self.dim, background=self.background
+        )
+        q = emb.select(
+            "doc_id", SIM._as_double(F.col("embedding")).alias("e")
+        ).withColumn("q", SIM._quantize(F.col("e")))
+        a = SIM._assign_clusters(q, self.centroids, "doc_id").select(
+            F.col("doc_id").alias("id_a"), F.col("e").alias("ea"), "cluster"
+        ).withColumn("na", SIM._norm(F.col("ea")))
+        return (
+            a.join(self.members, "cluster")
+            .withColumn(
+                "sim_u",
+                F.floor(
+                    SIM._dot(F.col("ea"), F.col("eb"))
+                    / (F.col("na") * F.col("nb"))
+                    * 1e6
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            .filter(F.col("sim_u") >= self.threshold_u)
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+        )
+
+    def unpersist(self) -> None:
+        self.background.unpersist()
+        self.members.unpersist()
 
 
 def _exact_keep_min(df: DataFrame) -> DataFrame:
@@ -75,6 +159,7 @@ def ingest_batch(
     out_dir: str,
     epoch_id: int,
     threshold_u: int = 400_000,
+    semantic: SemanticCrossIndex | None = None,
 ) -> None:
     """One micro-batch of the incremental ingest (the foreachBatch body)."""
     b1 = _exact_keep_min(batch)
@@ -96,6 +181,11 @@ def ingest_batch(
     near_drops = cross.select(F.col("doc_a").alias("doc_id")).distinct()
     accepted = b2.join(near_drops, "doc_id", "left_anti")
 
+    if semantic is not None:
+        accepted = accepted.join(
+            semantic.cross_drops(accepted), "doc_id", "left_anti"
+        )
+
     accepted.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"epoch={epoch_id}")
     )
@@ -108,13 +198,16 @@ def run_corpus_ingest_stream(
     out_dir: str,
     checkpoint_dir: str,
     threshold_u: int = 400_000,
+    semantic: SemanticCrossIndex | None = None,
 ):
     """File-source streaming ingest; exactly-once accepted-doc appends via
     epoch-keyed overwrite (see module docstring)."""
     stream = spark.readStream.schema(DOC_SCHEMA).json(doc_dir)
 
     def batch_fn(df: DataFrame, epoch_id: int):
-        ingest_batch(spark, df, existing, out_dir, epoch_id, threshold_u)
+        ingest_batch(
+            spark, df, existing, out_dir, epoch_id, threshold_u, semantic
+        )
 
     return (
         stream.writeStream.outputMode("append")

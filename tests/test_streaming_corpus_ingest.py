@@ -132,3 +132,79 @@ def test_ingest_batch_drops_cross_batch_exact_dups(spark, tmp_path):
     assert {r["doc_id"] for r in CI.read_accepted(spark, out).collect()} == acc
     dirs = CI._committed_epoch_dirs(out, 10)
     assert part not in dirs
+
+
+_SEM_VOCAB = (
+    "triển khai hệ thống dữ liệu phân tán lưu trữ truy vấn chỉ mục nén "
+    "mạng lưới máy chủ bộ nhớ đĩa cứng băng thông trễ hạn sao chép đồng "
+    "thuận giao dịch nhật ký phân vùng cân bằng tải khôi phục giám sát "
+    "cảnh báo triệu hồi nâng cấp bảo trì kiểm thử"
+).split()
+
+
+def _sem_doc(seed: int, n: int = 24) -> str:
+    import random
+
+    rng = random.Random(seed)
+    return " ".join(rng.choice(_SEM_VOCAB) for _ in range(n))
+
+
+def _sem_paraphrase(text: str, seed: int) -> str:
+    """The hostsim branch-3 rewrite shape: every word replaced by its
+    reversed-surface synonym, order reshuffled, one word spliced in — no
+    shared char-5-gram shingles, same synonym-class bag."""
+    import random
+
+    rng = random.Random(seed)
+    toks = [w[::-1] for w in text.split()]
+    rng.shuffle(toks)
+    toks.insert(rng.randrange(len(toks) + 1), rng.choice(_SEM_VOCAB)[::-1])
+    return " ".join(toks)
+
+
+def test_streaming_semantic_rung_rejects_cross_epoch_paraphrases(spark, tmp_path):
+    """Incremental SemDeDup (VERDICT r06 item 8): paraphrased duplicates of
+    EXISTING corpus docs — invisible to the exact and cross-LSH rungs —
+    arrive across two epochs and are all rejected by the frozen-centroid
+    semantic rung, while genuinely novel docs all pass; per-epoch streaming
+    equals the one-shot batch application."""
+    docs = {f"old-{i:02d}": _sem_doc(i) for i in range(30)}
+    existing = spark.createDataFrame(list(docs.items()), CI.DOC_SCHEMA).persist()
+    idx = CI.SemanticCrossIndex(
+        spark, existing, dim=64, n_clusters=8, n_iter=2, threshold_u=750_000
+    )
+
+    para = {
+        f"para-{i:02d}": _sem_paraphrase(docs[f"old-{i:02d}"], 100 + i)
+        for i in (2, 5, 11, 17, 23, 28)
+    }
+    novel = {f"new-{i:02d}": _sem_doc(1000 + i) for i in range(6)}
+    intake = sorted({**para, **novel}.items())
+
+    # without the semantic rung every paraphrase sails through (they share
+    # no shingles with their originals — LSH-blind by construction)
+    out_off = str(tmp_path / "acc_off")
+    CI.ingest_batch(spark, spark.createDataFrame(intake, CI.DOC_SCHEMA),
+                    existing, out_off, 0)
+    acc_off = {r["doc_id"] for r in CI.read_accepted(spark, out_off).collect()}
+    assert set(para) <= acc_off
+
+    # with the rung, across two epochs: all paraphrases rejected, all
+    # novel docs accepted
+    out = str(tmp_path / "acc")
+    CI.ingest_batch(spark, spark.createDataFrame(intake[:6], CI.DOC_SCHEMA),
+                    existing, out, 0, semantic=idx)
+    CI.ingest_batch(spark, spark.createDataFrame(intake[6:], CI.DOC_SCHEMA),
+                    existing, out, 1, semantic=idx)
+    acc = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert acc == set(novel)
+
+    # stream == batch: one-shot application over the whole intake agrees
+    out_one = str(tmp_path / "acc_one")
+    CI.ingest_batch(spark, spark.createDataFrame(intake, CI.DOC_SCHEMA),
+                    existing, out_one, 0, semantic=idx)
+    assert {r["doc_id"]
+            for r in CI.read_accepted(spark, out_one).collect()} == acc
+
+    idx.unpersist()
+    existing.unpersist()
