@@ -21,7 +21,9 @@ pages ascending :113-118, links in listing document order).
 
 from __future__ import annotations
 
+import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,6 +37,40 @@ from ..operators import politeness as pol
 from ..operators import seen as S
 from ..sources import hostsim as hs
 from .catalog import CrawlCatalog
+
+
+class _WaveProfiler:
+    """Per-phase wall-clock ledger for the wave loop (SPARK_GRAFT_PROFILE=1).
+
+    Every driver-synchronous section of a wave (each Spark action, catalog
+    write, commit) is timed; ``summary()`` aggregates seconds per label
+    across waves.  This is the instrument behind BENCH.md's fixed-cost
+    breakdown: the crawl's ~work scales with cores, so whatever does NOT
+    shrink between local[8] and local[32] legs is per-run fixed cost.
+    Disabled (zero overhead beyond one attribute test) unless the env var
+    is set.
+    """
+
+    def __init__(self) -> None:
+        self.enabled = os.environ.get("SPARK_GRAFT_PROFILE", "") not in ("", "0")
+        self.rows: list[tuple[int, str, float]] = []
+
+    @contextmanager
+    def t(self, wave: int, label: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.rows.append((wave, label, time.time() - t0))
+
+    def summary(self) -> dict[str, float]:
+        agg: dict[str, float] = {}
+        for _w, label, s in self.rows:
+            agg[label] = agg.get(label, 0.0) + s
+        return {k: round(v, 3) for k, v in sorted(agg.items(), key=lambda kv: -kv[1])}
 
 
 @dataclass
@@ -64,6 +100,7 @@ class WaveCrawl:
         self.spark = spark
         self.web = web
         self.cfg = run_cfg or CrawlRunConfig()
+        self.prof = _WaveProfiler()
         self.cat = CrawlCatalog(catalog_root, spark)
         self.hosts_df = spark.createDataFrame(
             [tuple(r[f.name] for f in SCH.HOSTS.fields) for r in hs.hosts_rows(web)],
@@ -226,7 +263,8 @@ class WaveCrawl:
             # on a fresh catalog — the reference's task:"url" mode) wins over
             # the full type-taxonomy seed
             if not cat.has("frontier", 0):
-                cat.write("frontier", 0, self.seed_frontier())
+                with self.prof.t(-1, "seed_write"):
+                    cat.write("frontier", 0, self.seed_frontier())
             frontier = cat.read_wave("frontier", 0)
             clock_df = None
 
@@ -241,6 +279,14 @@ class WaveCrawl:
             frontier = cat.read_wave("frontier", wave)
         stats["n_waves"] = wave
         stats["t_end"] = time.time()
+        if self.prof.enabled:
+            import json as _json
+            import sys as _sys
+
+            print(
+                "WAVE_PROFILE " + _json.dumps(self.prof.summary()),
+                file=_sys.stderr,
+            )
         return stats
 
     # ------------------------------------------------------------------
@@ -291,7 +337,8 @@ class WaveCrawl:
                 )
                 .withColumn("wave", F.lit(wave + 1))
             ).cache()
-            n_deferred = deferred.count()  # also materializes the take cache
+            with self.prof.t(wave, "budget_count"):
+                n_deferred = deferred.count()  # also materializes the take cache
             if n_deferred == 0:
                 deferred.unpersist()
                 deferred = None
@@ -300,34 +347,47 @@ class WaveCrawl:
         else:
             budget_take = None
 
-        scheduled, new_clock_df, totals, art_sched_counts = pol.schedule_wave(
-            frontier, self.delay_dim, clock_df
-        )
+        with self.prof.t(wave, "schedule"):
+            scheduled, new_clock_df, totals, art_sched_counts = pol.schedule_wave(
+                frontier, self.delay_dim, clock_df
+            )
         has_listings = totals["listing"] > 0
         has_articles = totals["article"] > 0
         if has_listings or has_articles:
             scheduled = scheduled.cache()
 
-        # the clock state snapshot depends only on the (already-materialized)
-        # politeness counts — write it on a background thread so its ~0.5 s
-        # job hides under the wave's fetch+parse work; joined before the
-        # wave commit, so crash-exactness is unchanged (an uncommitted clock
-        # dir is pruned like any other debris)
+        # Independent per-wave snapshot writes (clock, seen delta, next
+        # frontier, bloom state) run on background threads so their ~0.5-1.5 s
+        # jobs hide under the wave's fetch+parse work instead of adding up
+        # serially — at sandbox wave sizes these four writes were ~40% of the
+        # per-run fixed cost (BENCH.md §9 profile).  All are joined before
+        # the wave commit, so crash-exactness is unchanged (an uncommitted
+        # dir is pruned like any other debris); none of them is read again
+        # within the wave, and each reads only already-materialized inputs
+        # (cached new_rows / the in-memory bloom delta / the politeness
+        # counts cache slot).
         import threading
 
-        clock_err: list[BaseException] = []
+        bg_threads: list[threading.Thread] = []
+        bg_errs: list[BaseException] = []
 
-        def _write_clock():
-            try:
-                cat.write("clock", wave, new_clock_df, parts)
-            except BaseException as e:  # re-raised on join
-                clock_err.append(e)
+        def _bg(label: str, fn):
+            def _run():
+                try:
+                    with self.prof.t(wave, label):
+                        fn()
+                except BaseException as e:  # re-raised at the pre-commit join
+                    bg_errs.append(e)
 
-        clock_thread = threading.Thread(target=_write_clock, daemon=True)
-        clock_thread.start()
+            th = threading.Thread(target=_run, daemon=True)
+            th.start()
+            bg_threads.append(th)
+
+        _bg("clock_write", lambda: cat.write("clock", wave, new_clock_df, parts))
 
         # newest merged filter state (includes inject_requests pre-writes)
-        bloom_tbl = cat.read_latest_state("bloom", wave)
+        with self.prof.t(wave, "bloom_read"):
+            bloom_tbl = cat.read_latest_state("bloom", wave)
         n_bloom_fp = 0
         n_new = 0
         lineage_parts = []
@@ -384,7 +444,8 @@ class WaveCrawl:
             # cache; the remaining wave scalars (n_listing_next, n_bloom_fp)
             # are counted in ONE follow-up job below — each standalone
             # count() is ~0.5-1 s of job overhead per wave (r04 profile)
-            n_new = new_rows.count()
+            with self.prof.t(wave, "listings_fetch_parse"):
+                n_new = new_rows.count()
 
             # stop rule + next listing batch — fully distributed: the
             # continuing (host, type) groups explode their next B pages and
@@ -441,10 +502,13 @@ class WaveCrawl:
                 scalar_df = scalar_df.unionByName(
                     recovered.select(F.lit("fp").alias("_k"))
                 )
-            scalars = {
-                r["_k"]: int(r["n"])
-                for r in scalar_df.groupBy("_k").agg(F.count("*").alias("n")).collect()
-            }
+            with self.prof.t(wave, "scalars"):
+                scalars = {
+                    r["_k"]: int(r["n"])
+                    for r in scalar_df.groupBy("_k")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
             n_listing_next = scalars.get("nxt", 0)
             n_bloom_fp = scalars.get("fp", 0)
 
@@ -466,7 +530,7 @@ class WaveCrawl:
                 seen_delta_new = new_rows.select(
                     "canonical_hash", "canonical_url", F.lit(wave).alias("wave")
                 )
-                cat.write("seen", wave, seen_delta_new, parts)
+                _bg("seen_write", lambda: cat.write("seen", wave, seen_delta_new, parts))
 
             # next-wave article rows; priority = depth + recency proxy
             next_articles = new_rows.select(
@@ -503,11 +567,10 @@ class WaveCrawl:
             next_frontier = parts_list[0]
             for extra in parts_list[1:]:
                 next_frontier = next_frontier.unionByName(extra)
-            cat.write("frontier", wave + 1, next_frontier, parts)
-        if deferred is not None:
-            deferred.unpersist()
-        if budget_take is not None:
-            budget_take.unpersist()
+            _bg(
+                "frontier_write",
+                lambda nf=next_frontier: cat.write("frontier", wave + 1, nf, parts),
+            )
 
         # ---------- seen-filter delta update (skipped when nothing new) ----------
         # NB: only the pure-new rows go into the filter — injected rows were
@@ -517,7 +580,7 @@ class WaveCrawl:
             merged = self.bloom_state.update(
                 bloom_tbl, seen_delta_new.select("canonical_hash"), spark
             )
-            cat.write("bloom", wave, merged, parts)
+            _bg("bloom_update_write", lambda: cat.write("bloom", wave, merged, parts))
 
         # ---------- articles: fetch/parse -> records + spans ----------
         # single pass, NO cache: caching the parsed output would serialize
@@ -582,7 +645,8 @@ class WaveCrawl:
             )
             # natural partitioning: a coalesce here would propagate UP the
             # narrow chain and collapse the fetch+parse stage's parallelism
-            cat.write("articles", wave, records, None)
+            with self.prof.t(wave, "articles_fetch_parse_write"):
+                cat.write("articles", wave, records, None)
             # lineage: parsed counts from the snapshot just written (reads
             # only the host column) joined against the scheduled counts —
             # errors = scheduled - parsed, all DataFrame-side (no per-host
@@ -623,24 +687,32 @@ class WaveCrawl:
                 .withColumn("t_start", F.lit(t0))
                 .withColumn("t_end", F.lit(t1))
             )
-            cat.write("lineage", wave, lineage, parts)
+            with self.prof.t(wave, "lineage_write"):
+                cat.write("lineage", wave, lineage, parts)
 
         # per-host virtual clock: a catalog state table (crash-safe with the
         # wave commit; resume reads it back) — written concurrently above,
         # joined here so the commit covers it
-        clock_thread.join()
-        if clock_err:
-            raise clock_err[0]
-        cat.commit_wave(
-            wave,
-            {
-                "n_fetched": totals["listing"] + totals["article"],
-                "n_new_urls": n_new,
-                "n_next": n_next,
-                "n_bloom_fp": n_bloom_fp,
-                "wall_s": time.time() - t0,
-            },
-        )
+        with self.prof.t(wave, "bg_join"):
+            for th in bg_threads:
+                th.join()
+        if bg_errs:
+            raise bg_errs[0]
+        if deferred is not None:
+            deferred.unpersist()
+        if budget_take is not None:
+            budget_take.unpersist()
+        with self.prof.t(wave, "commit"):
+            cat.commit_wave(
+                wave,
+                {
+                    "n_fetched": totals["listing"] + totals["article"],
+                    "n_new_urls": n_new,
+                    "n_next": n_next,
+                    "n_bloom_fp": n_bloom_fp,
+                    "wall_s": time.time() - t0,
+                },
+            )
         for df in (scheduled,):
             try:
                 df.unpersist()
