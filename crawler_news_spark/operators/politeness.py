@@ -43,6 +43,7 @@ def schedule_wave(
     frontier_wave: DataFrame,
     delay_dim: DataFrame,
     clock_df: DataFrame | None,
+    totals: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict[str, int], DataFrame]:
     """Assign ``fetch_ts`` to every frontier row of one wave.
 
@@ -89,9 +90,15 @@ def schedule_wave(
         "grp_offset", F.coalesce(F.sum("n").over(w_off), F.lit(0))
     ).drop("n")
 
-    totals = {"listing": 0, "article": 0}
-    for r in counts_df.groupBy("kind_rank").agg(F.sum("n").alias("n")).collect():
-        totals["listing" if r["kind_rank"] == 0 else "article"] = int(r["n"])
+    # the per-kind totals collect is one synchronous driver round-trip per
+    # wave; the wave loop KNOWS next wave's exact kind mix (it counted the
+    # rows it wrote into the frontier) and passes it as ``totals`` — the
+    # collect then only runs for wave 0, resumes, and injected frontiers
+    # (wave.py guards the hint against tagged dirs)
+    if totals is None:
+        totals = {"listing": 0, "article": 0}
+        for r in counts_df.groupBy("kind_rank").agg(F.sum("n").alias("n")).collect():
+            totals["listing" if r["kind_rank"] == 0 else "article"] = int(r["n"])
     art_counts_df = (
         counts_df.filter(F.col("kind_rank") == 1)
         .groupBy("host")

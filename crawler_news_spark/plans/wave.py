@@ -269,10 +269,13 @@ class WaveCrawl:
             clock_df = None
 
         stats = {"n_waves": 0, "t_start": time.time()}
+        totals_hint: dict[str, int] | None = None
         while frontier is not None:
             if wave >= cfg.max_waves:
                 raise RuntimeError("max_waves exceeded")
-            clock_df, n_next = self._run_wave(wave, frontier, clock_df)
+            clock_df, n_next, totals_hint = self._run_wave(
+                wave, frontier, clock_df, totals_hint
+            )
             wave += 1
             if n_next <= 0 or not cat.has("frontier", wave):
                 break
@@ -291,10 +294,22 @@ class WaveCrawl:
 
     # ------------------------------------------------------------------
     def _run_wave(
-        self, wave: int, frontier: DataFrame, clock_df: DataFrame | None
-    ) -> tuple[DataFrame, int]:
+        self,
+        wave: int,
+        frontier: DataFrame,
+        clock_df: DataFrame | None,
+        totals_hint: dict[str, int] | None = None,
+    ) -> tuple[DataFrame, int, dict[str, int]]:
         """Process one wave.  Returns (new clock state table, next-frontier
-        row count).
+        row count, next wave's exact {listing, article} frontier totals).
+
+        ``totals_hint`` is the previous wave's returned totals for THIS
+        wave's frontier — it lets the politeness schedule skip its per-wave
+        kind-totals collect (one driver round-trip per wave).  The hint is
+        only trusted when this wave's frontier slot is exactly the one plain
+        snapshot the previous wave wrote: injected tagged dirs (read_upto
+        unions them into the read) invalidate it, falling back to the
+        collect.
 
         Branch-skips: a wave with no listings (tail article waves) or no
         articles (wave 0) writes empty snapshots directly instead of running
@@ -307,6 +322,15 @@ class WaveCrawl:
         spark = self.spark
         t0 = time.time()
         parts = cfg.write_parts
+
+        if totals_hint is not None:
+            slot = [
+                (w, t)
+                for w, t, _p in cat._committed_dirs("frontier", wave)
+                if w == wave
+            ]
+            if slot != [(wave, None)]:
+                totals_hint = None  # injected rows present — recount
 
         # ---------- priority budget: top-K articles per host this wave ------
         # (the priority frontier actually gates scheduling; overflow defers)
@@ -344,12 +368,18 @@ class WaveCrawl:
                 deferred = None
             budget_take = take
             frontier = frontier.filter(F.col("kind") == "listing").unionByName(take)
+            if totals_hint is not None:
+                # the budget replaced the article side with its top-K take
+                totals_hint = {
+                    "listing": totals_hint["listing"],
+                    "article": totals_hint["article"] - n_deferred,
+                }
         else:
             budget_take = None
 
         with self.prof.t(wave, "schedule"):
             scheduled, new_clock_df, totals, art_sched_counts = pol.schedule_wave(
-                frontier, self.delay_dim, clock_df
+                frontier, self.delay_dim, clock_df, totals_hint
             )
         has_listings = totals["listing"] > 0
         has_articles = totals["article"] > 0
@@ -721,7 +751,8 @@ class WaveCrawl:
         if has_listings:
             parsed_listings.unpersist()
             new_rows.unpersist()
-        return cat.read_wave("clock", wave), n_next
+        next_totals = {"listing": n_listing_next, "article": n_new + n_deferred}
+        return cat.read_wave("clock", wave), n_next, next_totals
 
     # ------------------------------------------------------------------
     # Re-crawl / on-demand surface (reference: daily cron re-run

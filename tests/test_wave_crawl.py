@@ -135,12 +135,12 @@ def test_resume_crash_mid_wave(spark, web, oracle, tmp_path_factory):
     cfg = CrawlRunConfig(batch_pages=BATCH, bloom_buckets=4)
 
     class CrashBeforeCommit(WaveCrawl):
-        def _run_wave(self, wave, frontier, clock_base):
+        def _run_wave(self, wave, frontier, clock_base, totals_hint=None):
             if wave == 1:
                 def boom(w, stats):  # all wave-1 writes landed; commit didn't
                     raise KeyboardInterrupt
                 self.cat.commit_wave = boom
-            return super()._run_wave(wave, frontier, clock_base)
+            return super()._run_wave(wave, frontier, clock_base, totals_hint)
 
     wc1 = CrashBeforeCommit(spark, web, root, cfg)
     with pytest.raises(KeyboardInterrupt):
@@ -164,8 +164,8 @@ def test_resume_exact(spark, web, oracle, tmp_path_factory):
     cfg = CrawlRunConfig(batch_pages=BATCH, bloom_buckets=4)
 
     class StopAfter(WaveCrawl):
-        def _run_wave(self, wave, frontier, clock_base):
-            out = super()._run_wave(wave, frontier, clock_base)
+        def _run_wave(self, wave, frontier, clock_base, totals_hint=None):
+            out = super()._run_wave(wave, frontier, clock_base, totals_hint)
             if wave == 1:
                 raise KeyboardInterrupt
             return out
