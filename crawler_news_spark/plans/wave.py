@@ -249,6 +249,7 @@ class WaveCrawl:
     def run(self, resume: bool = False) -> dict:
         """Run (or resume) the crawl to completion.  Returns run stats."""
         cat, cfg = self.cat, self.cfg
+        totals_hint: dict[str, int] | None = None
         if resume and cat.last_wave() >= 0:
             cat.prune_uncommitted()
             wave = cat.last_wave() + 1
@@ -265,11 +266,21 @@ class WaveCrawl:
             if not cat.has("frontier", 0):
                 with self.prof.t(-1, "seed_write"):
                     cat.write("frontier", 0, self.seed_frontier())
+                # the seed is pure listings and its size is a config identity
+                # (Σ over hosts of n_types x n_seed_pages) — no wave-0
+                # collect; _run_wave's tagged-dir guard still re-counts if
+                # anything was injected into the slot after the seed write
+                totals_hint = {
+                    "listing": sum(
+                        s.n_types * (1 if s.one_shot else self.cfg.batch_pages)
+                        for s in self.web.hosts
+                    ),
+                    "article": 0,
+                }
             frontier = cat.read_wave("frontier", 0)
             clock_df = None
 
         stats = {"n_waves": 0, "t_start": time.time()}
-        totals_hint: dict[str, int] | None = None
         while frontier is not None:
             if wave >= cfg.max_waves:
                 raise RuntimeError("max_waves exceeded")
