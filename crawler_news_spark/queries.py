@@ -1722,8 +1722,20 @@ def corpus_build_stages(spark, web=None, semantic: bool = False) -> dict[str, Da
             id_col="doc_id",
             cache_tag="corpus_build.semantic",
         )
+        # sever the logical plan at the semantic boundary: the kept-ids plan
+        # references the embedding/assignment subtrees several times, each
+        # carrying the ENTIRE nested 10-stage lineage — downstream operators
+        # reference corpus3s 4-6x more (anti-join, count broadcast, window),
+        # so the un-truncated tree grows exponentially and every later
+        # action pays ~80 s of driver-side analysis against it (measured;
+        # re-counts equally slow with all caches hot).  The surviving-id set
+        # is O(corpus) SKINNY rows; localCheckpoint materializes it once and
+        # replaces the tree with a leaf (the connected-components precedent —
+        # on a real cluster use reliable checkpoint).  Packed action: 80 s ->
+        # ~3 s in the same window.
+        kept_ids = kept.select("doc_id").localCheckpoint()
         corpus3s = _cache.claim(
-            "corpus_build.corpus3s", corpus3.join(kept.select("doc_id"), "doc_id")
+            "corpus_build.corpus3s", corpus3.join(kept_ids, "doc_id")
         )
         stages = dict(base)
         stages["corpus_semantic"] = corpus3s
