@@ -2,11 +2,20 @@
 """Benchmark harness.
 
 Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT
+JSON line (kept under the driver's stdout-tail budget — see VERDICT r07):
 
     {"metric": "total_bench_sec", "value": N, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": ...,
-     "crawl": {"n_urls": ..., "urls_per_sec": ...}}
+     "queries": {...per-query sec...},
+     "eff_cores": [...window effective cores, same order as queries;
+                   steal-normalized time = t x eff/cpus...],
+     "sf": ..., "cpus": ...,
+     "crawl": {"n_urls":..., "urls_per_sec":..., "eff_cores":...,
+               "urls_per_sec_norm":...},
+     "clean_families": "9/10", "detail": "<path>"}
+
+The full measurement record (per-family steal windows, per-query effective
+cores, crawl attempts) is written to the `detail` path (--out to override).
 
 --scaling: runs the identical crawl job at two parallelism levels
 (local[8] and local[32]) in fresh subprocesses on the same deterministic
@@ -61,9 +70,11 @@ QUERY_FAMILIES = [
     # dict is memoized; corpus_build executes the pipeline, the semantic
     # variant adds its suffix, stage_counts reads the cached stages) — the
     # per-query cache isolation below is skipped inside it so the bench
-    # measures the production shape: stage counts read off the flagship run
+    # measures the production shape: stage counts read off the flagship run.
+    # rerun_ok: run_queries evicts the memo between attempts, so a dirty-
+    # window re-run measures the cold production shape again.
     ("corpus", ["corpus_build", "corpus_build_semantic",
-                "corpus_stage_counts"], False),
+                "corpus_stage_counts"], True),
 ]
 
 SHARED_CACHE_FAMILIES = {"corpus"}
@@ -410,14 +421,35 @@ def run_corpus_ingest_bench(spark, seconds: int = 45,
     }
 
 
+def wait_for_window(min_eff_frac: float, tries: int = 6,
+                    sleep_s: float = 4.0) -> dict:
+    """Probe hypervisor steal until a probe reads clean (effective cores >=
+    min_eff_frac x nominal) or the bounded wait expires; return the LAST
+    probe (the one the measurement actually starts under).  Waiting out a
+    dirty spell before starting a family is much cheaper than re-running the
+    whole family after the fact (VERDICT r07 item 1: two phantom 3-4x
+    'regressions' were nothing but dirty windows)."""
+    probe = calibrate_steal(n=3_000_000)
+    for _ in range(tries - 1):
+        if probe["effective_cores"] >= min_eff_frac * probe["procs"]:
+            break
+        time.sleep(sleep_s)
+        probe = calibrate_steal(n=3_000_000)
+    return probe
+
+
 def run_queries(spark, sf_dir: str, min_eff_frac: float = 0.75,
-                max_attempts: int = 2):
-    """Window-gated query phase (VERDICT r05 item 3): each query FAMILY is
-    measured inside its own calibrated window (steal probe before + after);
-    a dirty window (effective cores < min_eff_frac x nominal on either
-    probe) re-runs the family once and the per-query MIN is kept.  Returns
-    (times, eff, windows): per-query seconds, per-query effective-core
-    reading of the window the reported time came from, and the window log.
+                max_attempts: int = 3):
+    """Window-gated query phase (VERDICT r05 item 3 + r07 item 1): each
+    query FAMILY is measured inside its own calibrated window — the bench
+    first WAITS (bounded) for a clean steal probe, runs the family, probes
+    again; a dirty window (effective cores < min_eff_frac x nominal on
+    either probe) re-runs the family up to max_attempts and the per-query
+    MIN is kept.  The corpus family's cross-query memo is evicted between
+    its attempts so a re-run measures the cold production shape, not the
+    warm path.  Returns (times, eff, windows): per-query seconds, per-query
+    effective-core reading of the window the reported time came from, and
+    the window log.
     """
     from crawler_news_spark import queries as Q
 
@@ -428,7 +460,11 @@ def run_queries(spark, sf_dir: str, min_eff_frac: float = 0.75,
     for fam, qnames, rerun_ok in QUERY_FAMILIES:
         attempts = max_attempts if rerun_ok else 1
         for attempt in range(attempts):
-            pre = calibrate_steal(n=3_000_000)
+            if attempt > 0 and fam in SHARED_CACHE_FAMILIES:
+                # cold re-run: drop the memoized crawl + stage lineage the
+                # family shares, else attempt 2 measures the warm path
+                Q._evict_crawl_body_memo()
+            pre = wait_for_window(min_eff_frac)
             times: dict[str, float] = {}
             for name in qnames:
                 t0 = time.time()
@@ -467,6 +503,76 @@ def run_queries(spark, sf_dir: str, min_eff_frac: float = 0.75,
     return out, eff, windows
 
 
+STDOUT_LINE_BUDGET = 1900  # the driver keeps ~2000 chars of stdout tail
+
+
+def build_report(qtimes, qeff, qwindows, crawl, warmup_sec, qcal, total,
+                 sf, detail_path) -> tuple[str, dict]:
+    """Assemble the full-detail artifact dict and the COMPACT one-line
+    stdout JSON.  The driver captures only a bounded stdout tail (r07's
+    artifact had the line's head truncated -> parsed:null), so the line is
+    size-guarded: full windows/attempts live in the detail file (path
+    carried in the line) and optional keys are dropped in priority order if
+    the line would still exceed the budget.
+
+    Steal normalization (VERDICT r07 item 1): queries_norm[q] =
+    t x eff_cores/cpus — the time the work would take if the window's
+    delivered cores were the whole machine's; the line carries the per-query
+    eff cores as an array in queries-key order, so eff and the normalized
+    time are exactly recoverable from the line alone.
+    """
+    qnorm = {
+        k: round(v * min(qeff.get(k, CPUS) / CPUS, 1.0), 3)
+        for k, v in qtimes.items()
+    }
+    kept = crawl["attempts"][-1]
+    crawl_eff = min(kept["eff_cores_pre"], kept["eff_cores_post"])
+    crawl_line = {
+        "n_urls": crawl["n_urls"],
+        "urls_per_sec": crawl["urls_per_sec"],
+        "eff_cores": round(crawl_eff, 1),
+        # throughput scaled UP to a full machine under the same assumption
+        "urls_per_sec_norm": round(
+            crawl["urls_per_sec"] * max(CPUS / max(crawl_eff, 1e-9), 1.0), 1),
+    }
+    clean_n = len({w["family"] for w in qwindows if w["clean"]})
+    fam_n = len({w["family"] for w in qwindows}) or len(QUERY_FAMILIES)
+    sf_val = float(sf) if str(sf).replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "cpus": CPUS,
+        "queries": qtimes,
+        "queries_norm": qnorm,
+        "queries_eff_cores": qeff,
+        "query_windows": qwindows,
+        "clean_families": f"{clean_n}/{fam_n}",
+        "crawl": crawl,
+        "warmup_sec": warmup_sec,
+        "calibration_after_queries": qcal,
+    }
+    line = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "cpus": CPUS,
+        "queries": qtimes,
+        "eff_cores": [qeff.get(k, float(CPUS)) for k in qtimes],
+        "clean_families": f"{clean_n}/{fam_n}",
+        "crawl": crawl_line,
+        "warmup_sec": warmup_sec,
+        "detail": detail_path,
+    }
+    for drop in ("warmup_sec", "eff_cores"):
+        if len(json.dumps(line, separators=(",", ":"))) <= STDOUT_LINE_BUDGET:
+            break
+        line.pop(drop, None)
+    return json.dumps(line, separators=(",", ":")), detail
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -483,6 +589,10 @@ def main() -> None:
                     choices=["default", "bench", "skew"])
     ap.add_argument("--types", type=int, default=256)
     ap.add_argument("--giant-frac", type=float, default=0.5)
+    ap.add_argument("--out", default=None,
+                    help="path for the full-detail bench JSON (default: "
+                         "BENCH_DETAIL.json next to bench.py); the compact "
+                         "stdout line carries this path")
     ap.add_argument("--scaling-n", type=int, default=2,
                     help="N for the N vs 4N scaling pair (this VM's "
                          "hypervisor caps perfect CPU scaling at 8->32 to "
@@ -549,18 +659,14 @@ def main() -> None:
     qtimes, qeff, qwindows = run_queries(spark, SF_DIR)
     qcal = calibrate_steal()
     total = round(time.time() - t_all, 3)
-    print(json.dumps({
-        "metric": "total_bench_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": qtimes,
-        "queries_eff_cores": qeff,
-        "query_windows": qwindows,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "crawl": crawl,
-        "warmup_sec": warmup_sec,
-        "calibration_after_queries": qcal,
-    }))
+    detail_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    line_str, detail = build_report(
+        qtimes, qeff, qwindows, crawl, warmup_sec, qcal, total, sf,
+        detail_path)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(line_str)
     spark.stop()
 
 
