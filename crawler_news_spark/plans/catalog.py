@@ -278,9 +278,15 @@ class CrawlCatalog:
                     # legacy suffix-less attempt that DID commit: it may be
                     # the only copy of the table's data (pre-horizon code
                     # crashed after removing its last source dir), so never
-                    # delete — quarantine under a stable name instead
-                    _sh.rmtree(prior + "-orphaned", ignore_errors=True)
-                    os.rename(prior, prior + "-orphaned")
+                    # delete — quarantine for manual review.  The name is
+                    # made UNIQUE (counter suffix) so a later legacy dir
+                    # can never clobber an earlier quarantine: every
+                    # quarantined copy survives, none is ever rmtree'd.
+                    q, k = prior + "-orphaned", 0
+                    while os.path.exists(q):
+                        k += 1
+                        q = f"{prior}-orphaned{k}"
+                    os.rename(prior, q)
                     continue
                 prior_upto = int(suffix)
                 pdirs = self._committed_dirs(table, prior_upto)

@@ -383,3 +383,19 @@ def test_compaction_quarantines_committed_legacy_dir(spark, cat):
     cat.commit_wave(2, {})
     cat.compact("t", 2)
     assert os.path.isdir(q)
+
+    # a SECOND committed legacy dir must not clobber the first quarantine
+    # (ADVICE r07: the old code rmtree'd '-orphaned' before renaming over
+    # it, destroying data explicitly kept for manual review): each legacy
+    # recovery quarantines under its own unique name and every copy's data
+    # survives intact
+    cat.write("t", 3, _df(spark, [(4, "d")]), parts=1)
+    cat.commit_wave(3, {})
+    second_rows = _rows(cat.read_upto("t", 3).where("k = 4"))
+    cat.read_upto("t", 3).where("k = 4").coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    cat.compact("t", 3)
+    q2 = os.path.join(cat.root, "t", "_compacting-orphaned1")
+    assert os.path.isdir(q) and os.path.isdir(q2)
+    assert _rows(spark.read.parquet(q).select("k", "v")) == legacy_rows
+    assert _rows(spark.read.parquet(q2).select("k", "v")) == second_rows
