@@ -731,9 +731,14 @@ def sql_semantic_dedup(
 # hostsim's branch-3 paraphrases swap every word for its reversed form, the
 # way a real encoder maps synonyms to nearby vectors)
 _TBE_CANON_SPARK = (
-    "least(regexp_replace({t}, '[.,:]', ''), reverse(regexp_replace({t}, '[.,:]', '')))"
+    "least(translate({t}, '.,:', ''), reverse(translate({t}, '.,:', '')))"
 )
-_TBE_CANON_SQL = _TBE_CANON_SPARK  # identical syntax in DuckDB
+# identical syntax AND semantics in DuckDB: translate is per-character and
+# global in both engines.  (regexp_replace is NOT portable here — Spark's
+# replaces every match, DuckDB's only the first unless passed the 'g'
+# option, so a token with >=2 punctuation chars would hash to different
+# synonym classes in the twin.)
+_TBE_CANON_SQL = _TBE_CANON_SPARK
 
 
 def _tbe_dim_counts(

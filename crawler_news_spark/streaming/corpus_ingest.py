@@ -12,12 +12,15 @@ pipeline as the batch job:
      (operators/dedup.py minhash_cross_near_dups: new x old bands — the
      existing corpus is never self-joined, cost scales with the batch);
   4. optionally, the SEMANTIC rung (incremental SemDeDup): incoming docs
-     are embedded against the corpus's FROZEN unigram background,
-     cluster-assigned against its FROZEN k-means centroids, and cosine-
-     compared with existing members of the SAME cluster only — paraphrased
-     republications that share no shingles (invisible to rung 3) are
-     rejected, at cluster-local cost that scales with the batch
-     (SemanticCrossIndex below; built once, reused across every epoch).
+     are embedded against the corpus's FROZEN unigram background, blocked
+     by banded LSH over their synonym-CLASS sets, and cosine-verified
+     against band-colliding members — the existing corpus, every
+     previously ABSORBED accepted epoch, and the batch itself
+     (within-batch keep-lowest-id) — so paraphrased republications that
+     share no shingles (invisible to rung 3) are rejected whether their
+     original is old corpus, a prior epoch's accept, or a sibling in the
+     same batch, at band-bucket cost that scales with the batch
+     (SemanticCrossIndex below; built once, members grow via absorb()).
 
 Accepted rows are appended to an output directory KEYED ON THE EPOCH
 (``epoch={id}/``, overwrite mode) — foreachBatch is at-least-once, and the
@@ -48,17 +51,81 @@ from ..operators import similarity as SIM
 DOC_SCHEMA = "doc_id string, text string"
 
 
+def _class_set_py(text: str) -> set:
+    """Distinct synonym-class keys of a doc: per whitespace token, strip
+    [.,:] and take min(token, reversed token) — the Python mirror of
+    similarity._TBE_CANON_SPARK, the same feature the bow embedding
+    hashes.  Empty text yields {''}."""
+    table = str.maketrans("", "", ".,:")
+    out = set()
+    for tok in (text or "").split():
+        t = tok.translate(table)
+        out.add(min(t, t[::-1]))
+    return out or {""}
+
+
+def _class_sigs_batch(texts) -> "np.ndarray":  # noqa: F821
+    """Kirsch-Mitzenmacher min-hash signatures over the synonym-CLASS set
+    (dedup._sigs_batch's exact scheme, with unigram classes in place of
+    char-5 shingles): (len(texts), N_SIGS) int64."""
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.dedup import MH_P, N_SIGS
+
+    out = np.empty((len(texts), N_SIGS), dtype=np.int64)
+    I = np.arange(N_SIGS, dtype=np.uint64).reshape(-1, 1)
+    P = np.uint64(MH_P)
+    for r, text in enumerate(texts):
+        cls = _class_set_py(text)
+        uv = np.empty((len(cls), 2), dtype=np.uint64)
+        for k, s in enumerate(cls):
+            hx = hashlib.md5(s.encode()).hexdigest()
+            uv[k, 0] = int(hx[:10], 16)
+            uv[k, 1] = int(hx[10:20], 16)
+        u1 = uv[:, 0] % P
+        u2 = uv[:, 1] % P
+        out[r] = ((u1[None, :] + I * u2[None, :]) % P).min(axis=1).astype(np.int64)
+    return out
+
+
 class SemanticCrossIndex:
-    """Frozen corpus-side state for the incremental SemDeDup rung.
+    """Corpus-side state for the incremental SemDeDup rung.
 
     Built ONCE from the existing corpus: the synonym-class unigram
     background (the centering distribution — incoming docs must be embedded
-    in the corpus's space, not their own batch's), the deterministic integer
-    k-means centroids (the same coarse quantizer semantic_dedup/ivf_topk
-    use), and the cluster-assigned member vectors.  Per epoch, only the
-    incoming docs are embedded and assigned — one Arrow pass over the batch
-    — and compared against same-cluster members: O(batch x cluster size),
-    never corpus x corpus.
+    in the corpus's space, not their own batch's) and the featurized member
+    set (embedding + class-set min-hash signatures per doc).
+
+    Candidate generation is banded LSH over the synonym-CLASS set — the
+    same banding machinery as the shingle rung (dedup._band_table), but on
+    unigram classes, the very feature the bow embedding hashes.  A
+    paraphrase pair (every word swapped for its synonym surface form, order
+    destroyed) keeps class-set Jaccard near 1, so its band-collision
+    probability is ~1 REGARDLESS of where the pair sits in embedding
+    space.  The frozen-k-means cluster blocking this replaces was measured
+    unreliable for exactly the docs this rung exists to catch: two
+    ~0.99-cosine paraphrases of a NEW story are out-of-distribution for
+    centroids trained on the old corpus, their cell scores are flat noise,
+    and argmax (even multi-probe) assignment split them on the planted
+    fixture.  Candidates are verified with exact cosine >= threshold_u in
+    the frozen embedding space — blocking is recall-only, precision comes
+    from the verify.  Cost per epoch: one Arrow pass over the batch + a
+    band-keyed shuffle join against members — O(batch x bucket), never
+    corpus x corpus.
+
+    The EMBEDDING SPACE (background) stays frozen — re-centering per epoch
+    would silently shift every vector and make epochs incomparable.  The
+    MEMBER set grows: :meth:`absorb` appends a batch's accepted rows
+    (lineage-truncated), so later epochs are deduped against earlier
+    accepted docs — the same prior-epoch contract as the exact-fingerprint
+    rung — and :meth:`drops` adds the within-batch pass (keep-lowest-id,
+    batch semantic_dedup's convention), closing ADVICE r07's gap: two
+    paraphrases of the same NEW story are no longer both accepted, whether
+    they share a batch or not.  Restart note: absorbed members are
+    in-memory state; after a restart, re-absorb committed epochs
+    (``idx.absorb(read_accepted(spark, out))``) before resuming.
     """
 
     def __init__(
@@ -66,45 +133,64 @@ class SemanticCrossIndex:
         spark,
         existing: DataFrame,
         dim: int = 64,
-        n_clusters: int = 16,
-        n_iter: int = 2,
         threshold_u: int = 750_000,
+        rows_per_band: int = 2,
     ) -> None:
         self.dim = dim
         self.threshold_u = threshold_u
+        self.rows_per_band = rows_per_band
         self.background = SIM.text_bow_background(existing, dim=dim).persist()
-        emb = SIM.text_bow_embedding(
-            existing, dim=dim, background=self.background
-        ).select(F.col("doc_id"), F.col("embedding"))
-        q = emb.select(
-            "doc_id", SIM._as_double(F.col("embedding")).alias("e")
-        ).withColumn("q", SIM._quantize(F.col("e")))
-        self.centroids = SIM._kmeans_centroids(q, n_clusters, n_iter, "doc_id")
-        self.members = (
-            SIM._assign_clusters(q, self.centroids, "doc_id")
-            .select(
-                F.col("doc_id").alias("id_b"),
-                F.col("e").alias("eb"),
-                "cluster",
-            )
-            .withColumn("nb", SIM._norm(F.col("eb")))
-            .persist()
-        )
+        self.members = self._featurize(existing).persist()
 
-    def cross_drops(self, incoming: DataFrame) -> DataFrame:
-        """doc_ids of incoming rows that are semantic duplicates of an
-        existing member (cosine >= threshold within the assigned cluster)."""
+    def _featurize(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, e, n, sig0..sig{k-1}): embedding in the frozen space +
+        class-set min-hash signatures, one Arrow pass each."""
+        from ..operators.dedup import N_SIGS
+
         emb = SIM.text_bow_embedding(
-            incoming, dim=self.dim, background=self.background
-        )
-        q = emb.select(
+            docs, dim=self.dim, background=self.background
+        ).select(
             "doc_id", SIM._as_double(F.col("embedding")).alias("e")
-        ).withColumn("q", SIM._quantize(F.col("e")))
-        a = SIM._assign_clusters(q, self.centroids, "doc_id").select(
-            F.col("doc_id").alias("id_a"), F.col("e").alias("ea"), "cluster"
-        ).withColumn("na", SIM._norm(F.col("ea")))
+        ).withColumn("n", SIM._norm(F.col("e")))
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                sigs = _class_sigs_batch(pdf["text"].tolist())
+                out = {"doc_id": pdf["doc_id"].values}
+                for i in range(N_SIGS):
+                    out[f"sig{i}"] = sigs[:, i]
+                yield pd.DataFrame(out)
+
+        sigs = docs.select("doc_id", "text").mapInPandas(
+            gen,
+            "doc_id string, " + ", ".join(f"sig{i} long" for i in range(N_SIGS)),
+        )
+        return emb.join(sigs, "doc_id")
+
+    def _sig_cols(self, feat: DataFrame) -> DataFrame:
+        from ..operators.dedup import N_SIGS
+
+        return feat.select("doc_id", *[f"sig{i}" for i in range(N_SIGS)])
+
+    def _verify(self, pairs: DataFrame, a_feat: DataFrame,
+                b_feat: DataFrame) -> DataFrame:
+        """Exact-cosine verification of candidate (doc_a, doc_b) pairs in
+        the frozen embedding space; keeps pairs >= threshold_u."""
+        av = a_feat.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("e").alias("ea"),
+            F.col("n").alias("na"),
+        )
+        bv = b_feat.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("e").alias("eb"),
+            F.col("n").alias("nb"),
+        )
         return (
-            a.join(self.members, "cluster")
+            pairs.join(av, "doc_a")
+            .join(bv, "doc_b")
             .withColumn(
                 "sim_u",
                 F.floor(
@@ -115,13 +201,58 @@ class SemanticCrossIndex:
                 ).cast("long"),
             )
             .filter(F.col("sim_u") >= self.threshold_u)
-            .select(F.col("id_a").alias("doc_id"))
+            .select("doc_a", "doc_b")
+        )
+
+    def cross_drops(self, incoming: DataFrame) -> DataFrame:
+        """doc_ids of incoming rows that are semantic duplicates of an
+        existing/absorbed member (band collision + cosine >= threshold)."""
+        return self._cross_drops_feat(self._featurize(incoming))
+
+    def _cross_drops_feat(self, feat: DataFrame) -> DataFrame:
+        pairs = DD.lsh_cross_pairs(
+            self._sig_cols(feat),
+            self._sig_cols(self.members),
+            rows_per_band=self.rows_per_band,
+        )
+        return (
+            self._verify(pairs, feat, self.members)
+            .select(F.col("doc_a").alias("doc_id"))
             .distinct()
         )
+
+    def drops(self, incoming: DataFrame) -> DataFrame:
+        """doc_ids to reject: duplicates of an existing/absorbed member
+        PLUS the within-batch pass — for each incoming candidate pair
+        above threshold the higher id is dropped (keep-lowest-id, the same
+        convention as batch semantic_dedup).  Closes ADVICE r07's gap: two
+        paraphrases of the same NEW story in one batch are no longer both
+        accepted."""
+        feat = self._featurize(incoming)
+        within_pairs = DD.lsh_candidate_pairs(
+            self._sig_cols(feat), rows_per_band=self.rows_per_band
+        )
+        within = self._verify(within_pairs, feat, feat).select(
+            F.col("doc_b").alias("doc_id")
+        )
+        return self._cross_drops_feat(feat).unionByName(within).distinct()
+
+    def absorb(self, accepted: DataFrame) -> None:
+        """Append a batch's ACCEPTED docs to the member set so later epochs
+        are semantically deduped against them too (the exact rung's
+        prior-epoch contract).  The embedding space stays frozen — only
+        members grow.  localCheckpoint truncates the per-epoch union
+        lineage (the r07 plan-tree-blowup lesson).  Replay-safe in effect:
+        absorbing the same rows twice adds duplicate members, which change
+        no drop decision."""
+        old = self.members
+        self.members = old.unionByName(self._featurize(accepted)).localCheckpoint()
+        old.unpersist()
 
     def unpersist(self) -> None:
         self.background.unpersist()
         self.members.unpersist()
+
 
 
 def _exact_keep_min(df: DataFrame) -> DataFrame:
@@ -183,12 +314,21 @@ def ingest_batch(
 
     if semantic is not None:
         accepted = accepted.join(
-            semantic.cross_drops(accepted), "doc_id", "left_anti"
+            semantic.drops(accepted), "doc_id", "left_anti"
         )
 
     accepted.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"epoch={epoch_id}")
     )
+
+    if semantic is not None:
+        # after the epoch committed: absorb what was accepted so the NEXT
+        # epoch's semantic rung also rejects paraphrases of it (reread from
+        # the committed files — re-deriving through the anti-join lineage
+        # would recompute the whole acceptance pipeline)
+        semantic.absorb(
+            spark.read.parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
 
 
 def run_corpus_ingest_stream(

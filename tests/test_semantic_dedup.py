@@ -110,3 +110,32 @@ def test_semantic_dedup_threshold_monotone(spark, planted_rows):
     lo = SIM.semantic_dedup(emb, threshold_u=900_000).count()
     hi = SIM.semantic_dedup(emb, threshold_u=1_000_000).count()
     assert hi >= lo
+
+
+def test_tbe_canon_spark_duckdb_parity_multi_punct(spark):
+    """ADVICE r07 (medium): the synonym-class canonicalization must be
+    GLOBAL in both engines.  DuckDB's regexp_replace without 'g' replaces
+    only the first match, so the old shared expression diverged on any
+    token with >=2 of [.,:] ('16:30.' -> '1630.' vs Spark's '1630') and the
+    semantic-dedup twin silently hashed such tokens to different synonym
+    classes.  translate() is per-character and global in both engines; this
+    pins byte-identical canon output on multi-punct tokens."""
+    import duckdb
+
+    toks = ["16:30.", "a.b.c", "x,,y::z", "plain", ".,:", "nv."]
+    canon_spark = SIM._TBE_CANON_SPARK.format(t="tok")
+    canon_sql = SIM._TBE_CANON_SQL.format(t="tok")
+    got_spark = [
+        r["c"]
+        for r in spark.createDataFrame([(t,) for t in toks], "tok string")
+        .selectExpr(f"{canon_spark} as c")
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {canon_sql} FROM (SELECT ? AS tok)", [t]).fetchone()[0]
+        for t in toks
+    ]
+    assert got_spark == got_duck
+    # and the punctuation strip really is global
+    assert got_spark[0] == "0361"  # least('1630', reverse('1630'))

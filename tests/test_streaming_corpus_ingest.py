@@ -165,13 +165,13 @@ def _sem_paraphrase(text: str, seed: int) -> str:
 def test_streaming_semantic_rung_rejects_cross_epoch_paraphrases(spark, tmp_path):
     """Incremental SemDeDup (VERDICT r06 item 8): paraphrased duplicates of
     EXISTING corpus docs — invisible to the exact and cross-LSH rungs —
-    arrive across two epochs and are all rejected by the frozen-centroid
-    semantic rung, while genuinely novel docs all pass; per-epoch streaming
+    arrive across two epochs and are all rejected by the
+    semantic rung (class-LSH blocking + frozen-space cosine verify), while genuinely novel docs all pass; per-epoch streaming
     equals the one-shot batch application."""
     docs = {f"old-{i:02d}": _sem_doc(i) for i in range(30)}
     existing = spark.createDataFrame(list(docs.items()), CI.DOC_SCHEMA).persist()
     idx = CI.SemanticCrossIndex(
-        spark, existing, dim=64, n_clusters=8, n_iter=2, threshold_u=750_000
+        spark, existing, dim=64, threshold_u=750_000
     )
 
     para = {
@@ -199,12 +199,54 @@ def test_streaming_semantic_rung_rejects_cross_epoch_paraphrases(spark, tmp_path
     acc = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
     assert acc == set(novel)
 
-    # stream == batch: one-shot application over the whole intake agrees
+    # stream == batch: one-shot application over the whole intake agrees.
+    # The index is STATEFUL now (absorb() added the accepted epochs above),
+    # so the batch leg needs a fresh index built from the same corpus.
+    idx_one = CI.SemanticCrossIndex(
+        spark, existing, dim=64, threshold_u=750_000
+    )
     out_one = str(tmp_path / "acc_one")
     CI.ingest_batch(spark, spark.createDataFrame(intake, CI.DOC_SCHEMA),
-                    existing, out_one, 0, semantic=idx)
+                    existing, out_one, 0, semantic=idx_one)
     assert {r["doc_id"]
             for r in CI.read_accepted(spark, out_one).collect()} == acc
+
+    idx_one.unpersist()
+    idx.unpersist()
+    existing.unpersist()
+
+
+def test_streaming_semantic_rung_within_and_cross_epoch_new_dups(spark, tmp_path):
+    """ADVICE r07: semantic duplicates among NEW docs must not all be
+    accepted.  Two paraphrases of the same new story in ONE batch -> only
+    the lowest doc_id survives (within-batch cluster-local pass); a
+    paraphrase arriving in a LATER epoch of a story accepted earlier ->
+    rejected too (absorb() extends the member set with accepted epochs,
+    the exact rung's prior-epoch contract)."""
+    docs = {f"old-{i:02d}": _sem_doc(i) for i in range(20)}
+    existing = spark.createDataFrame(list(docs.items()), CI.DOC_SCHEMA).persist()
+    idx = CI.SemanticCrossIndex(
+        spark, existing, dim=64, threshold_u=750_000
+    )
+
+    story_a = _sem_doc(5001)
+    story_b = _sem_doc(5002)
+    epoch0 = [
+        ("na-00", story_a),
+        ("na-01", _sem_paraphrase(story_a, 42)),   # within-batch paraphrase
+        ("nb-00", story_b),
+    ]
+    epoch1 = [
+        ("nb-50", _sem_paraphrase(story_b, 43)),   # cross-epoch paraphrase
+        ("nc-00", _sem_doc(5003)),                 # genuinely novel
+    ]
+    out = str(tmp_path / "acc")
+    CI.ingest_batch(spark, spark.createDataFrame(epoch0, CI.DOC_SCHEMA),
+                    existing, out, 0, semantic=idx)
+    CI.ingest_batch(spark, spark.createDataFrame(epoch1, CI.DOC_SCHEMA),
+                    existing, out, 1, semantic=idx)
+    acc = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert acc == {"na-00", "nb-00", "nc-00"}
 
     idx.unpersist()
     existing.unpersist()
