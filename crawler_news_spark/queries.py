@@ -1040,7 +1040,7 @@ SQL_DECONTAMINATE = r"""
 _MH_P = DD.MH_P
 
 _SQL_SHINGLES = """
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
       FROM documents,
            unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)
@@ -1054,7 +1054,7 @@ _SQL_SIGS = (
              CAST(concat('0x', substr(md5(shingle), 11, 10)) AS BIGINT) % {_MH_P} AS u2
       FROM sh
     )
-    , sigs AS (
+    , sigs AS MATERIALIZED (
       SELECT doc_id,
 """
     + ",\n".join(
@@ -1070,7 +1070,7 @@ _SQL_BANDS = """
       UNION ALL SELECT doc_id, 2, sig4, sig5 FROM sigs
       UNION ALL SELECT doc_id, 3, sig6, sig7 FROM sigs
     )
-    , pairs AS (
+    , pairs AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
@@ -1107,7 +1107,7 @@ def q_minhash_near_dups(spark, sf_dir):
 SQL_MINHASH_NEAR_DUPS = (
     _SQL_SHINGLES + _SQL_SIGS + _SQL_BANDS
     + """
-    , pruned AS (
+    , pruned AS MATERIALIZED (
       SELECT p.doc_a, p.doc_b FROM pairs p
       JOIN sigs sa ON sa.doc_id = p.doc_a
       JOIN sigs sb ON sb.doc_id = p.doc_b
@@ -1120,12 +1120,23 @@ SQL_MINHASH_NEAR_DUPS = (
            + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
     )
-    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+    -- exact verify on CANDIDATE docs only, pinned MATERIALIZED: inlined,
+    -- DuckDB's optimizer joined sh-x-sh on the shingle alone (both sides
+    -- the full corpus — measured 75+ GB of spill at 50k docs) before
+    -- applying the doc-pair filter.  Restricting sh to candidate docs
+    -- first is also exactly what the Spark operator does.
+    , cdocs AS MATERIALIZED (
+      SELECT doc_a AS doc_id FROM pruned UNION SELECT doc_b FROM pruned
+    )
+    , shc AS MATERIALIZED (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN cdocs c ON c.doc_id = s.doc_id
+    )
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id)
     , inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_inter
       FROM pruned p
-      JOIN sh a ON a.doc_id = p.doc_a
-      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      JOIN shc a ON a.doc_id = p.doc_a
+      JOIN shc b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY p.doc_a, p.doc_b
     )
     SELECT i.doc_a, i.doc_b, i.n_inter,
@@ -2069,13 +2080,22 @@ def _sql_corpus_update() -> str:
            + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
+    ), cdocs AS MATERIALIZED (
+      -- candidate-doc restriction before the shingle verify join (see
+      -- SQL_MINHASH_NEAR_DUPS: without it the optimizer may join sh x sh
+      -- on the shingle alone)
+      SELECT doc_a AS doc_id, 0 AS side FROM pruned
+      UNION SELECT doc_b, 1 FROM pruned
+    ), shc AS MATERIALIZED (
+      SELECT s.doc_id, s.side, s.shingle
+      FROM sh s JOIN cdocs c ON c.doc_id = s.doc_id AND c.side = s.side
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_inter
       FROM pruned p
-      JOIN sh a ON a.side = 0 AND a.doc_id = p.doc_a
-      JOIN sh b ON b.side = 1 AND b.doc_id = p.doc_b AND b.shingle = a.shingle
+      JOIN shc a ON a.side = 0 AND a.doc_id = p.doc_a
+      JOIN shc b ON b.side = 1 AND b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY p.doc_a, p.doc_b
     ), neardrop AS (
       SELECT DISTINCT i.doc_a
@@ -2092,20 +2112,27 @@ def _sql_corpus_update() -> str:
 """
 
 
-def _corpus_build_ctes(semantic: bool = False) -> str:
+def _corpus_build_ctes(semantic: bool = False,
+                       spans_path: str | None = None) -> str:
     """The corpus_build pipeline's full CTE chain (shared WITH-prefix of
     _sql_corpus_build, _sql_corpus_build_semantic and
     _sql_corpus_stage_counts).  With ``semantic`` the chain gains the 11th
     stage between near-dup and decontamination: the centered synonym-class
     embedding (sql_text_bow_ctes), the deterministic integer k-means CTE
     chain (_sql_kmeans_ctes — the same twin ivf_topk/semantic_dedup use),
-    cluster-local pairwise cosine, and a keep-lowest-id filter."""
+    cluster-local pairwise cosine, and a keep-lowest-id filter.
+
+    ``spans_path`` retargets the twin at a different py-oracle span export
+    (default: the registry fixture) — the 10x scale gate runs the same SQL
+    over a larger crawled web (scripts/check_sf1.py)."""
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
-    if not os.path.exists(path):  # zip-imported package etc.
-        path = "/root/repo/dist/corpus_build_oracle.parquet"
+    path = spans_path
+    if path is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(root, "dist", "corpus_build_oracle.parquet")
+        if not os.path.exists(path):  # zip-imported package etc.
+            path = "/root/repo/dist/corpus_build_oracle.parquet"
     if semantic:
         # fassign is referenced twice by sempairs and corpus3s references
         # corpus3 + the pair chain — MATERIALIZED pins (plus the ones inside
@@ -2227,13 +2254,20 @@ def _corpus_build_ctes(semantic: bool = False) -> str:
            + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
            + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) >= 3
+    ), cdocs AS MATERIALIZED (
+      -- candidate-doc restriction before the shingle verify join (see
+      -- SQL_MINHASH_NEAR_DUPS: without it the optimizer may join sh x sh
+      -- on the shingle alone)
+      SELECT doc_a AS doc_id FROM pruned UNION SELECT doc_b FROM pruned
+    ), shc AS MATERIALIZED (
+      SELECT s.doc_id, s.shingle FROM sh s JOIN cdocs c ON c.doc_id = s.doc_id
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
       SELECT p.doc_a, p.doc_b, count(*) AS n_inter
       FROM pruned p
-      JOIN sh a ON a.doc_id = p.doc_a
-      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      JOIN shc a ON a.doc_id = p.doc_a
+      JOIN shc b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY p.doc_a, p.doc_b
     ), neardup AS (
       SELECT DISTINCT i.doc_b
@@ -2278,11 +2312,12 @@ def _corpus_build_ctes(semantic: bool = False) -> str:
 """
 
 
-def _sql_corpus_build(semantic: bool = False) -> str:
+def _sql_corpus_build(semantic: bool = False,
+                      spans_path: str | None = None) -> str:
     """DuckDB twin: the identical pipeline in ANSI SQL over the py-oracle
     span export (scripts/export_corpus_oracle.py).  ``semantic`` enables
     the 11th-stage CTEs (see _corpus_build_ctes)."""
-    return _corpus_build_ctes(semantic=semantic) + f"""
+    return _corpus_build_ctes(semantic=semantic, spans_path=spans_path) + f"""
     SELECT doc_id, shard, CAST(tok AS BIGINT) AS tok,
            CAST((sum(tok) OVER (PARTITION BY shard ORDER BY h_u, doc_id
                                 ROWS UNBOUNDED PRECEDING) - tok)
@@ -3096,12 +3131,28 @@ SQL_TFIDF_TOP_TERMS = r"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate oracles the FIRST 50
-    # entries in dict-insertion order.  Entries that have never had a
-    # driver-artifact row are therefore kept at the FRONT; long-proven
-    # entries (driver-checked in earlier rounds, still covered by the
-    # builder's full 3-SF gate in CORRECTNESS_SF*.json) rotate to the back.
+    # entries in dict-insertion order.  The window ROTATES each round
+    # (ADVICE r07 #4) so every entry is periodically driver-checked: the 13
+    # entries outside r07's window (judge-verified that round) lead in r08,
+    # the 12 r07-rotated entries keep their second consecutive driver round,
+    # and 13 entries driver-proven three rounds running (r05-r07) take their
+    # turn at the back — still covered by the builder's full 3-SF gate.
     return {
-        # --- rotated to front in r07: never driver-checked before ---
+        # --- outside the driver window in r07 (judge-checked then) ---
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "ann_recall": q_ann_recall,
+        "winnow_pairs": q_winnow_pairs,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "media_metadata": q_media_metadata,
+        "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
+        "media_features": q_media_features,
+        "crawl_flagship": q_crawl_flagship,
+        # --- rotated to front in r07; second consecutive driver round ---
         "corpus_update": q_corpus_update,
         "line_dedup": q_line_dedup,
         "boilerplate_strip": q_boilerplate_strip,
@@ -3114,27 +3165,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_score": q_rare_token_score,
         "vocab_oov_rate": q_vocab_oov_rate,
         "ngram_novelty": q_ngram_novelty,
-        # --- new in r07 / fixture changed in r07 (corpus_web gained the
-        # paraphrase syndication branch) — must sit in the driver window ---
+        # --- fixture changed in r07 (paraphrase syndication branch) ---
         "corpus_build_semantic": q_corpus_build_semantic,
         "corpus_build": q_corpus_build,
-        # --- driver-proven in r05/r06; stays within the first-50 window ---
+        # --- driver-proven in r05-r07; stays within the first-50 window ---
         "keepfirst_dedup": q_keepfirst_dedup,
         "dup_groups": q_dup_groups,
         "exact_dedup": q_exact_dedup,
-        "date_range": q_date_range,
-        "date_range_typed": q_date_range_typed,
-        "group_count": q_group_count,
-        "category_filter": q_category_filter,
-        "md5_prefix": q_md5_prefix,
-        "datasource_extract": q_datasource_extract,
-        "image_path": q_image_path,
-        "images_metadata": q_images_metadata,
-        "topk_per_group": q_topk_per_group,
-        "pricing_summary": q_pricing_summary,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
         "top_revenue_nations": q_top_revenue_nations,
         "order_priority_count": q_order_priority_count,
@@ -3155,19 +3192,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "cosine_topk": q_cosine_topk,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "ann_recall": q_ann_recall,
-        "winnow_pairs": q_winnow_pairs,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        "media_metadata": q_media_metadata,
-        "frame_sample": q_frame_sample,
-        "media_resize": q_media_resize,
-        "media_features": q_media_features,
-        "crawl_flagship": q_crawl_flagship,
+        # --- rotated to the back in r08 (driver-green r05, r06 AND r07;
+        # the repo-local 3-SF gate still runs every one each round) ---
+        "date_range": q_date_range,
+        "date_range_typed": q_date_range_typed,
+        "group_count": q_group_count,
+        "category_filter": q_category_filter,
+        "md5_prefix": q_md5_prefix,
+        "datasource_extract": q_datasource_extract,
+        "image_path": q_image_path,
+        "images_metadata": q_images_metadata,
+        "topk_per_group": q_topk_per_group,
+        "pricing_summary": q_pricing_summary,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "rollup_revenue": q_rollup_revenue,
     }
 
 
