@@ -134,6 +134,67 @@ def fetch_parse_articles(cfg: hs.WebConfig, articles: DataFrame) -> DataFrame:
     return articles.select(*cols).mapInPandas(run, ARTICLE_OUT_SCHEMA)
 
 
+def fetch_parse_articles_arrow(cfg: hs.WebConfig, articles: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`fetch_parse_articles` — same fused
+    fetch+parse loop, but the batch never round-trips through pandas: the
+    eight passthrough columns are reused as Arrow arrays untouched
+    (zero-copy), and the parsed output columns are built as Arrow arrays
+    directly.  mapInPandas pays a pandas conversion of every input column
+    and a pandas->Arrow conversion of every output column per batch; for
+    this operator the only columns Python actually READS are host and
+    canonical_url.  A/B-measured against the pandas variant in one window
+    (scripts/ab_parse_arrow.py, BENCH.md §10); the output is hash-identical
+    by construction and pinned by the crawl_flagship gate."""
+    import pyarrow as pa
+
+    profile_by_host = {s.host: s.profile for s in cfg.hosts}
+    base_by_host = {s.host: s.base_url for s in cfg.hosts}
+
+    str_t, lstr_t = pa.string(), pa.list_(pa.string())
+    out_fields = [
+        ("title", str_t), ("description", str_t), ("content", str_t),
+        ("pub_date_raw", str_t), ("author", str_t), ("imageUrl", str_t),
+        ("comments", lstr_t), ("contentImageUrls", lstr_t),
+        ("span_texts", lstr_t),
+    ]
+    pass_names = [
+        "wave", "host", "type_id", "page_no", "link_index",
+        "canonical_url", "canonical_hash", "fetch_ts",
+    ]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            n = rb.num_rows
+            out = {k: [None] * n for k, _t in out_fields}
+            ok = [False] * n
+            hosts = rb.column("host").to_pylist()
+            curls = rb.column("canonical_url").to_pylist()
+            for i, (host, cu) in enumerate(zip(hosts, curls)):
+                try:
+                    html = hs.fetch(cfg, cu)
+                    rec = parse_article(
+                        html, profile_by_host[host], base_by_host[host]
+                    )
+                except Exception:
+                    rec = None
+                if rec is None:
+                    continue
+                ok[i] = True
+                for k in out:
+                    out[k][i] = rec[k]
+            arrays = [rb.column(c) for c in pass_names]
+            names = list(pass_names)
+            for k, t in out_fields:
+                arrays.append(pa.array(out[k], t))
+                names.append(k)
+            arrays.append(pa.array(ok, pa.bool_()))
+            names.append("parse_ok")
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    cols = list(pass_names)
+    return articles.select(*cols).mapInArrow(run, ARTICLE_OUT_SCHEMA)
+
+
 def fetch_only(cfg: hs.WebConfig, urls: DataFrame, url_col: str = "url") -> DataFrame:
     """Unfused fetch (url -> html) for tests/inspection — NOT the hot path."""
 
