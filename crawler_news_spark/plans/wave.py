@@ -630,7 +630,11 @@ class WaveCrawl:
         # plus the politeness per-host totals instead.
         if has_articles:
             articles = scheduled.filter(F.col("kind") == "article").repartition(n_par)
-            parsed = P.fetch_parse_articles(web, articles)
+            # mapInArrow variant: row-identical to the mapInPandas twin
+            # (tests/test_parse_arrow.py) and won or tied every paired A/B
+            # window at 14k/56k URLs (scripts/ab_parse_arrow.py, BENCH.md)
+            # by skipping the per-batch pandas<->Arrow conversions
+            parsed = P.fetch_parse_articles_arrow(web, articles)
             ok = parsed.filter(F.col("parse_ok"))
             # span structs rebuilt JVM-side from the flat arrays (see
             # operators/parse.py ARTICLE_OUT_SCHEMA note)

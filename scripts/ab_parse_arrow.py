@@ -91,7 +91,9 @@ def main() -> None:
         t0 = time.time()
         row = (
             fn(web, frontier)
-            .select(F.xxhash64(*out_cols).alias("h"))
+            # modular order-insensitive checksum (plain sum of xxhash64
+            # overflows long under ANSI mode)
+            .select(F.pmod(F.xxhash64(*out_cols), F.lit(10 ** 12)).alias("h"))
             .agg(F.count("*").alias("n"), F.sum("h").alias("chk"))
             .collect()[0]
         )
