@@ -69,20 +69,22 @@ class RssSampler(threading.Thread):
         self.period = period
         self.peak_py = 0.0
         self.peak_jvm = 0.0
-        self._stop = threading.Event()
+        # NOT named _stop: that would shadow threading.Thread's internal
+        # _stop() and break join()
+        self._halt = threading.Event()
 
     def run(self) -> None:
         jpids = _child_java_pids()
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak_py = max(self.peak_py, _rss_mb(os.getpid()))
             if not jpids:
                 jpids = _child_java_pids()
             self.peak_jvm = max(
                 self.peak_jvm, sum(_rss_mb(p) for p in jpids))
-            self._stop.wait(self.period)
+            self._halt.wait(self.period)
 
     def stop(self) -> None:
-        self._stop.set()
+        self._halt.set()
 
 
 def _du_bytes(path: str) -> int:
@@ -102,13 +104,15 @@ def many_host_web(n_hosts: int, seed: int = 7):
     from crawler_news_spark.sources import hostsim as hs
 
     profiles = list(hs.PROFILES)
+    one_shot_only = {p for p in profiles if hs.PAGINATION[p] == "one-shot"}
     specs = tuple(
         hs.HostSpec(
             f"mh{i}.example.vn",
             profiles[i % len(profiles)],
             n_types=1,
             links_per_page=8,
-            max_depth=2,
+            max_depth=1 if profiles[i % len(profiles)] in one_shot_only else 2,
+            one_shot=profiles[i % len(profiles)] in one_shot_only,
             crawl_delay_s=0.5,
         )
         for i in range(n_hosts)
@@ -116,17 +120,9 @@ def many_host_web(n_hosts: int, seed: int = 7):
     return hs.WebConfig(seed=seed, hosts=specs, page_weight=8)
 
 
-def crawl(web, batch_pages: int = 17) -> dict:
+def crawl(spark, web, batch_pages: int = 17) -> dict:
     from bench import calibrate_steal
     from crawler_news_spark.plans.wave import CrawlRunConfig, WaveCrawl
-    from crawler_news_spark.session import get_spark
-
-    spark = get_spark(app_name="rehearse_scale")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
-    n_par = spark.sparkContext.defaultParallelism
-    spark.range(n_par * 2, numPartitions=n_par).mapInPandas(
-        lambda it: it, "id long").count()
 
     root = tempfile.mkdtemp(prefix="rehearse_cat_")
     wc = WaveCrawl(
@@ -165,7 +161,6 @@ def crawl(web, batch_pages: int = 17) -> dict:
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    spark.stop()
     return res
 
 
@@ -191,8 +186,21 @@ def main() -> None:
     if not runs:
         ap.error("pick --frontier and/or --hosts")
 
+    from crawler_news_spark.session import get_spark
+
+    spark = get_spark(app_name="rehearse_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    n_par = spark.sparkContext.defaultParallelism
+    spark.range(n_par * 2, numPartitions=n_par).mapInPandas(
+        lambda it: it, "id long").count()
+    # throwaway warmup crawl: the FIRST crawl pays one-time
+    # JVM/codegen/commit-path costs that would otherwise land entirely on
+    # the first measured run (the small baseline, flattering the big one)
+    crawl(spark, many_host_web(12))
+
     for tag, web, meta in runs:
-        res = {"run": tag, **meta, **crawl(web)}
+        res = {"run": tag, **meta, **crawl(spark, web)}
         print(json.dumps(res), flush=True)
         with open(OUT, "a") as f:
             f.write(json.dumps(res) + "\n")
