@@ -313,6 +313,7 @@ def run_streaming_bench(spark, seconds: int = 45,
         "input_rows": counts["input_rows"],
         "frontier_rows": counts["frontier_rows"],
         "batches": counts["batches"],
+        "semantic_rung": semantic,
         "seconds": seconds,
         "calibration_pre": pre,
         "calibration_post": post,
@@ -321,7 +322,8 @@ def run_streaming_bench(spark, seconds: int = 45,
 
 def run_corpus_ingest_bench(spark, seconds: int = 45,
                             docs_per_sec: int = 20_000,
-                            n_wire: int = 500) -> dict:
+                            n_wire: int = 500,
+                            semantic: bool = False) -> dict:
     """Sustained-load row for the STREAMING incremental corpus ingest
     (streaming/corpus_ingest.py — the daily-refresh deployment of
     corpus_update): a rate source offers ``docs_per_sec`` synthetic
@@ -378,9 +380,14 @@ def run_corpus_ingest_bench(spark, seconds: int = 45,
     out_dir = tempfile.mkdtemp(prefix="corpus_ingest_out_")
     ckpt = tempfile.mkdtemp(prefix="corpus_ingest_ckpt_")
     counts = {"input": 0, "batches": 0}
+    # rung 4 (incremental SemDeDup): built ONCE from the existing corpus,
+    # members then grow via absorb() inside ingest_batch — the production
+    # shape of the r08 class-LSH redesign
+    sem = CI.SemanticCrossIndex(spark, existing) if semantic else None
 
     def batch_fn(df, epoch_id):
-        CI.ingest_batch(spark, df, existing, out_dir, epoch_id)
+        CI.ingest_batch(spark, df, existing, out_dir, epoch_id,
+                        semantic=sem)
         # counted only after the epoch's write committed, so accept_frac is
         # computed over the same batches read_accepted sees
         counts["input"] += df.count()
@@ -415,6 +422,7 @@ def run_corpus_ingest_bench(spark, seconds: int = 45,
         "accepted_docs": accepted,
         "accept_frac": round(accepted / max(counts["input"], 1), 3),
         "batches": counts["batches"],
+        "semantic_rung": semantic,
         "seconds": seconds,
         "calibration_pre": pre,
         "calibration_post": post,
@@ -584,6 +592,9 @@ def main() -> None:
     ap.add_argument("--docs-rate", type=int, default=20_000)
     ap.add_argument("--stream-rate", type=int, default=100_000)
     ap.add_argument("--stream-seconds", type=int, default=45)
+    ap.add_argument("--semantic-rung", action="store_true",
+                    help="enable the incremental SemDeDup rung in the "
+                         "--streaming-corpus bench")
     ap.add_argument("--crawl-scale", type=float, default=4.0)
     ap.add_argument("--web", default="default",
                     choices=["default", "bench", "skew"])
@@ -610,7 +621,8 @@ def main() -> None:
     if args.streaming_corpus:
         spark = make_spark()
         res = run_corpus_ingest_bench(spark, seconds=args.stream_seconds,
-                                      docs_per_sec=args.docs_rate)
+                                      docs_per_sec=args.docs_rate,
+                                      semantic=args.semantic_rung)
         print(json.dumps(res))
         spark.stop()
         return
