@@ -253,24 +253,32 @@ def minhash_cross_near_dups(new_docs: DataFrame, old_docs: DataFrame,
     both sides, banded cross-LSH, estimate prune, exact-Jaccard verify.
     Returns (doc_a=new, doc_b=old, n_inter, jaccard_u) at >= threshold.
 
-    The prune/verify stages are the self-join pipeline's, fed a union of
-    the two (disjoint-id) sides — candidates are only ever new x old."""
+    The fused prune/size-bound/fast-verify stages are the self-join
+    pipeline's (see minhash_near_dups), fed the two (disjoint-id) sides —
+    candidates are only ever new x old."""
     from . import _cache
 
+    spark = new_docs.sparkSession
     sigs_new = _cache.claim(
         "minhash_cross.sigs_new", minhash_signatures(new_docs, text_col, id_col)
     )
     sigs_old = _cache.claim(
         "minhash_cross.sigs_old", minhash_signatures(old_docs, text_col, id_col)
     )
-    pairs = lsh_cross_pairs(sigs_new, sigs_old, id_col)
-    all_sigs = sigs_new.unionByName(sigs_old)
-    pruned = sig_estimate_prune(pairs, all_sigs, id_col, min_sig_matches)
     all_docs = new_docs.select(id_col, text_col).unionByName(
         old_docs.select(id_col, text_col)
     )
-    jac = exact_jaccard_on_pairs(pruned, all_docs, text_col, id_col)
-    return jac.filter(F.col("jaccard_u") >= threshold_u)
+    keys_dir = _claim_keys_dir("minhash_cross.keys")
+    shingle_keys(all_docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
+    keys_back = spark.read.parquet(keys_dir)
+    sizes = keys_back.select(id_col, F.size("keys").cast("long").alias("_nsh"))
+    pairs = _fused_candidate_pairs(
+        sigs_new, sizes, id_col, min_sig_matches, threshold_u,
+        sigs_b=sigs_old, sizes_b=sizes, dedup=False,
+    )
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    jac = _verify_pairs_on_keys(pairs, keys_dir, id_type, threshold_u, spread=False)
+    return jac.filter(F.col("jaccard_u") >= threshold_u).distinct()
 
 
 def sig_estimate_prune(pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id",
@@ -347,28 +355,430 @@ def exact_jaccard_on_pairs(pairs: DataFrame, docs: DataFrame,
     )
 
 
+# ---------------------------------------------------------------------------
+# Fast exact-verify machinery (r09 optimization — guide §8: decide on small
+# proxies, never re-derive heavy per-doc state per pair).
+#
+# The r08 verify rebuilt both documents' shingle SETS in Python for EVERY
+# candidate pair (45.6M pairs x ~2x300 string slices at sf1 = 375+ s); the
+# two text joins additionally shipped every text once per pair.  The r09
+# path computes each document's sorted distinct-shingle KEY ARRAY exactly
+# once (one vectorized pass), materializes the skinny key table to a local
+# parquet side file, and verifies pairs with numpy searchsorted intersection
+# against a per-worker cache of that table — ids only cross the shuffle.
+#
+# Exactness: a 5-char shingle whose codepoints are all < 4096 is packed
+# 5x12 bits into a 60-bit integer — a BIJECTION (covers ASCII + Vietnamese
+# entirely), so key equality IS string equality.  Shorter shingles (doc
+# < 5 chars) or exotic codepoints fall back to a 63-bit md5 key with bit 63
+# set, disjoint from the packed range; results are oracle-verified at every
+# SF.  |A ∩ B| over keys therefore equals the string-set intersection, and
+# jaccard_u uses the identical float expression as jaccard_py.
+# ---------------------------------------------------------------------------
+
+_SH_PACK_LIMIT = 1 << 12  # codepoints below this pack exactly (5x12=60 bits)
+
+
+def _fallback_shingle_key(s: str) -> int:
+    """63-bit md5 key with bit 63 set — disjoint from packed keys (< 2^60)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") | (1 << 63)
+
+
+def _doc_shingle_keys(t: str) -> "np.ndarray":  # noqa: F821
+    """Sorted distinct int64 shingle keys for one document (spec:
+    shingle_set_py — same windows, bijective packing)."""
+    import numpy as np
+
+    t = t or ""
+    if len(t) < SHINGLE:
+        return np.array([_fallback_shingle_key(t)], dtype=np.uint64).view(np.int64)
+    try:
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    except UnicodeEncodeError:  # lone surrogates: pure-python fallback
+        keys = np.fromiter(
+            (
+                _fallback_shingle_key(t[i : i + SHINGLE])
+                for i in range(len(t) - (SHINGLE - 1))
+            ),
+            dtype=np.uint64,
+        )
+        return np.unique(keys.view(np.int64))
+    w = np.lib.stride_tricks.sliding_window_view(cps, SHINGLE)
+    s12 = np.uint64(12)
+    if cps.max() < _SH_PACK_LIMIT:
+        packed = w[:, 0]
+        for j in range(1, SHINGLE):
+            packed = (packed << s12) | w[:, j]
+        return np.unique(packed.view(np.int64))
+    big = (w >= _SH_PACK_LIMIT).any(axis=1)
+    wp = w[~big]
+    packed = wp[:, 0]
+    for j in range(1, SHINGLE):
+        packed = (packed << s12) | wp[:, j]
+    weird = {t[i : i + SHINGLE] for i in np.nonzero(big)[0]}
+    hashed = np.fromiter(
+        (_fallback_shingle_key(s) for s in weird), dtype=np.uint64, count=len(weird)
+    )
+    return np.unique(np.concatenate([packed, hashed]).view(np.int64))
+
+
+def shingle_keys(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", spread: bool = True) -> DataFrame:
+    """(id, keys array<long>) — sorted distinct shingle keys per document,
+    one vectorized Arrow pass (same spread rationale as minhash_signatures)."""
+    import pyarrow as pa
+
+    id_field = docs.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, keys array<bigint>"
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keys = [_doc_shingle_keys(t) for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(keys, type=pa.list_(pa.int64()))],
+                [id_col, "keys"],
+            )
+
+    narrow = docs.select(id_col, text_col)
+    if spread:
+        narrow = narrow.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return narrow.mapInArrow(gen, out_schema)
+
+
+# side-file slots: one keys parquet dir per operator tag; a new invocation
+# releases the previous generation (same contract as _cache.claim)
+_KEYS_DIRS: dict[str, str] = {}
+
+
+def _claim_keys_dir(tag: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    new = tempfile.mkdtemp(prefix=f"mh_keys_{tag.replace('.', '_')}_")
+    old = _KEYS_DIRS.get(tag)
+    _KEYS_DIRS[tag] = new
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    if not getattr(_claim_keys_dir, "_atexit", False):
+        _claim_keys_dir._atexit = True
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _KEYS_DIRS.values()]
+        )
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Native merge-intersect kernel.  Per-pair sorted-array intersection in
+# numpy costs ~12 us/pair of pure API overhead (measured r09: ~15 numpy
+# calls per ~200-element pair); a two-pointer merge in C is ~0.3 us/pair.
+# Compiled once per process with the system cc; _intersect_counts falls
+# back to the numpy loop when no compiler is available.
+# ---------------------------------------------------------------------------
+
+_ISECT_C_SRC = r"""
+#include <stdint.h>
+void intersect_counts(const int64_t *flat, const int64_t *offs,
+                      const int64_t *ia, const int64_t *ib,
+                      int64_t n, int64_t *ni_out) {
+    for (int64_t p = 0; p < n; p++) {
+        /* row segments exclude the trailing sentinel slot */
+        int64_t sa = offs[ia[p]], ea = offs[ia[p] + 1] - 1;
+        int64_t sb = offs[ib[p]], eb = offs[ib[p] + 1] - 1;
+        int64_t ni = 0;
+        while (sa < ea && sb < eb) {
+            int64_t va = flat[sa], vb = flat[sb];
+            if (va < vb) sa++;
+            else if (vb < va) sb++;
+            else { ni++; sa++; sb++; }
+        }
+        ni_out[p] = ni;
+    }
+}
+"""
+
+_ISECT_KERNEL = []  # memo: [] = not tried, [None] = unavailable, [fn] = ready
+
+
+def _native_intersect_kernel():
+    """ctypes handle to the compiled kernel, or None (then numpy fallback)."""
+    if _ISECT_KERNEL:
+        return _ISECT_KERNEL[0]
+    import ctypes
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    fn = None
+    try:
+        tag = hashlib.md5(_ISECT_C_SRC.encode()).hexdigest()[:12]
+        so_path = os.path.join(tempfile.gettempdir(), f"mh_isect_{tag}.so")
+        if not os.path.exists(so_path):
+            with tempfile.TemporaryDirectory() as td:
+                c_path = os.path.join(td, "isect.c")
+                with open(c_path, "w") as f:
+                    f.write(_ISECT_C_SRC)
+                tmp_so = os.path.join(td, "isect.so")
+                subprocess.run(
+                    ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, c_path],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp_so, so_path)  # atomic vs concurrent workers
+        lib = ctypes.CDLL(so_path)
+        p = ctypes.POINTER(ctypes.c_int64)
+        lib.intersect_counts.argtypes = [p, p, p, p, ctypes.c_int64, p]
+        lib.intersect_counts.restype = None
+        fn = lib.intersect_counts
+    except Exception:
+        fn = None
+    _ISECT_KERNEL.append(fn)
+    return fn
+
+
+def _intersect_counts(flat, offs, ia, ib) -> "np.ndarray":  # noqa: F821
+    """|A_i ∩ B_i| for row-index arrays ia/ib over the sentinel-augmented
+    (flat, offs) key table; exact sorted-merge semantics either path."""
+    import ctypes
+    import numpy as np
+
+    n = len(ia)
+    ni = np.empty(n, dtype=np.int64)
+    kern = _native_intersect_kernel()
+    if kern is not None and n:
+        as_p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+        kern(as_p(flat), as_p(offs), as_p(ia), as_p(ib), n, as_p(ni))
+        return ni
+    searchsorted = np.searchsorted
+    count_nonzero = np.count_nonzero
+    for i in range(n):
+        sa, ea = offs[ia[i]], offs[ia[i] + 1] - 1
+        sb, eb = offs[ib[i]], offs[ib[i] + 1] - 1
+        if ea - sa > eb - sb:
+            sa, ea, sb, eb = sb, eb, sa, ea
+        A = flat[sa:ea]
+        B = flat[sb:eb + 1]  # sentinel included: pos < B.size always
+        ni[i] = count_nonzero(B[searchsorted(B, A)] == A)
+    return ni
+
+
+# per-worker cache of loaded key tables, keyed by parquet dir (workers are
+# reused across tasks, so each worker loads a side file at most once)
+_KEYS_CACHE: dict[str, tuple] = {}
+
+
+def _load_keys_table(path: str) -> tuple:
+    """Load the key side file into (flat, offs, index) where each row's
+    segment in ``flat`` is followed by an int64-max sentinel: searchsorted
+    against a sentinel-terminated sorted array never returns an
+    out-of-range position, so the verify kernel needs no bounds mask."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cached = _KEYS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    tbl = pq.read_table(path)
+    ids = tbl.column(0).to_pylist()
+    kcol = tbl.column("keys").combine_chunks()
+    raw = kcol.values.to_numpy(zero_copy_only=False)
+    offs0 = kcol.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(offs0) - 1
+    # sentinel-augmented flat: row i occupies [offs[i], offs[i+1]) with the
+    # last slot = int64 max (never a real key: packed < 2^60, hashed < 0)
+    offs = offs0 + np.arange(n + 1, dtype=np.int64)
+    flat = np.empty(raw.size + n, dtype=np.int64)
+    keep = np.ones(flat.size, dtype=bool)
+    keep[offs[1:] - 1] = False
+    flat[keep] = raw
+    flat[offs[1:] - 1] = np.iinfo(np.int64).max
+    # id -> row lookup: vectorized searchsorted map for integer ids,
+    # python dict otherwise
+    if ids and all(isinstance(d, int) for d in ids[:8]):
+        id_arr = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(id_arr, kind="stable")
+        lookup = ("num", id_arr[order], order)
+    else:
+        lookup = ("dict", {d: i for i, d in enumerate(ids)}, None)
+    loaded = (flat, offs, lookup)
+    while len(_KEYS_CACHE) >= 2:  # bound worker memory to two generations
+        _KEYS_CACHE.pop(next(iter(_KEYS_CACHE)))
+    _KEYS_CACHE[path] = loaded
+    return loaded
+
+
+def _verify_pairs_on_keys(pairs: DataFrame, keys_dir: str, id_type: str,
+                          threshold_u: int, spread: bool = True) -> DataFrame:
+    """Exact Jaccard on candidate pairs from the materialized key table:
+    numpy sorted-array intersection, emitting only >= threshold rows."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        flat, offs, lookup = _load_keys_table(keys_dir)
+
+        def rows_of(col) -> "np.ndarray":
+            kind, a, b = lookup
+            if kind == "num":
+                return b[np.searchsorted(a, col.to_numpy(zero_copy_only=False))]
+            return np.fromiter(
+                (a[d] for d in col.to_pylist()), dtype=np.int64, count=len(col)
+            )
+
+        for batch in batches:
+            ia = rows_of(batch.column("doc_a"))
+            ib = rows_of(batch.column("doc_b"))
+            ni_out = _intersect_counts(flat, offs, ia, ib)
+            n_a = offs[ia + 1] - offs[ia] - 1
+            n_b = offs[ib + 1] - offs[ib] - 1
+            union = n_a + n_b - ni_out
+            ju_out = np.floor(ni_out * 1e6 / union + 0.5).astype(np.int64)
+            keep = ju_out >= threshold_u
+            keep_idx = pa.array(np.nonzero(keep)[0])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_a").take(keep_idx),
+                    batch.column("doc_b").take(keep_idx),
+                    pa.array(ni_out[keep]),
+                    pa.array(ju_out[keep]),
+                ],
+                ["doc_a", "doc_b", "n_inter", "jaccard_u"],
+            )
+
+    schema = (f"doc_a {id_type}, doc_b {id_type}, "
+              "n_inter bigint, jaccard_u bigint")
+    if spread:
+        # AQE coalesces a shuffled input to ~advisory-sized partitions (a
+        # handful of tasks for tens of millions of id pairs) — spread the
+        # skinny pair list back to full parallelism before the Python stage
+        pairs = pairs.repartition(
+            pairs.sparkSession.sparkContext.defaultParallelism
+        )
+    return pairs.mapInArrow(fn, schema)
+
+
+def _size_bound_ok(threshold_u: int):
+    """Exact upper-bound filter: jaccard_u <= floor(min*1e6/max + 0.5)
+    (n_inter <= min size, union >= max size; floor/division in the same
+    IEEE-double semantics as jaccard_py), so dropping pairs whose bound is
+    below threshold never removes an output row."""
+    mn = F.least(F.col("_nsh_a"), F.col("_nsh_b")).cast("double")
+    mx = F.greatest(F.col("_nsh_a"), F.col("_nsh_b")).cast("double")
+    return F.floor(mn * F.lit(1e6) / mx + F.lit(0.5)) >= F.lit(threshold_u)
+
+
+def _fused_candidate_pairs(sigs: DataFrame, sizes: DataFrame, id_col: str,
+                           min_matches: int, threshold_u: int,
+                           sigs_b: DataFrame | None = None,
+                           sizes_b: DataFrame | None = None,
+                           rows_per_band: int = 2,
+                           dedup: bool = True) -> DataFrame:
+    """Banded LSH candidates with the estimate prune AND the size bound
+    fused into the band join, BEFORE the distinct — per-pair deterministic
+    filters commute with distinct, so the result equals
+    sig_estimate_prune(lsh_candidate_pairs(sigs)) further filtered by the
+    (output-preserving) size bound.  Avoids materializing the full
+    candidate set and the two per-pair signature joins of the r08 plan.
+
+    With ``sigs_b``/``sizes_b`` it is the cross (new x old) variant: no
+    a<b filter, candidates only ever across the two sides."""
+    cross = sigs_b is not None
+    if N_SIGS % rows_per_band:
+        raise ValueError(f"rows_per_band={rows_per_band} must divide N_SIGS={N_SIGS}")
+    n_bands = N_SIGS // rows_per_band
+
+    def full_bands(s: DataFrame, sz: DataFrame, side: str) -> DataFrame:
+        # one row per (doc, band) carrying the band key AND the full
+        # signature vector + shingle count, so est/size filters run inside
+        # the band-join stage with no per-pair joins afterwards
+        exploded = s.join(F.broadcast(sz), id_col).select(
+            F.col(id_col).alias(f"doc_{side}"),
+            *[F.col(f"sig{i}").alias(f"_{side}s{i}") for i in range(N_SIGS)],
+            F.col("_nsh").alias(f"_nsh_{side}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.col(f"sig{b * rows_per_band + j}").alias(f"v{j}")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        return exploded.select(
+            f"doc_{side}",
+            *[f"_{side}s{i}" for i in range(N_SIGS)],
+            f"_nsh_{side}",
+            "bb.band",
+            *[f"bb.v{j}" for j in range(rows_per_band)],
+        )
+
+    ba = full_bands(sigs, sizes, "a")
+    bb = full_bands(sigs_b if cross else sigs, sizes_b if cross else sizes, "b")
+    vcols = [f"v{j}" for j in range(rows_per_band)]
+    est = sum(
+        (F.col(f"_as{i}") == F.col(f"_bs{i}")).cast("int") for i in range(N_SIGS)
+    )
+    # the enriched band table is n_docs x n_bands skinny rows — broadcast one
+    # side so neither side shuffles (post-explode size estimates otherwise
+    # push the planner to a sort-merge join: 2 Exchanges + Sorts at r09 start)
+    joined = ba.join(F.broadcast(bb), ["band", *vcols])
+    if not cross:
+        joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
+    out = (
+        joined.filter(est >= min_matches)
+        .filter(_size_bound_ok(threshold_u))
+        .select("doc_a", "doc_b")
+    )
+    # deduplicating here costs a full shuffle of the candidate stream; the
+    # verify is deterministic per pair, so callers may verify the raw
+    # stream in the SAME stage and distinct the (tiny) thresholded output
+    # instead — identical result set
+    return out.distinct() if dedup else out
+
+
 def minhash_near_dups(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold_u: int = 500_000,
                       min_sig_matches: int = 3) -> DataFrame:
-    """Full pipeline: vUDF signatures -> banded LSH pairs -> estimate prune
-    -> exact-Jaccard verify (per-pair vUDF) -> threshold filter.
+    """Full pipeline: vUDF signatures -> banded LSH with fused estimate
+    prune + exact size bound -> numpy sorted-key exact-Jaccard verify ->
+    threshold filter.  Result-identical to the staged r08 plan (banded LSH
+    -> distinct -> estimate prune -> per-pair text-join verify); see the
+    fast-verify block comment above for the exactness argument.
 
-    The signature table is persisted: the band self-join reads it twice and
-    the prune twice more — without a persist the signature vUDF subtree
-    re-executes ~5x.  At scale it is n_docs x (id + 8 longs), far smaller
-    than the corpus, and the natural thing to materialize anyway.  The
-    persist lives in a named cache slot so a repeat invocation releases the
-    previous generation instead of accumulating executor storage.
+    The signature table is persisted (named slot: a repeat invocation
+    releases the previous generation); the shingle-key table is
+    materialized once to a parquet side file that verify tasks read
+    locally — candidate pairs shuffle ids only, never texts.
     """
     from . import _cache
 
+    spark = docs.sparkSession
     sigs = _cache.claim("minhash_near_dups.sigs", minhash_signatures(docs, text_col, id_col))
-    pairs = lsh_candidate_pairs(sigs, id_col)
-    pruned = _cache.claim(
-        "minhash_near_dups.pruned", sig_estimate_prune(pairs, sigs, id_col, min_sig_matches)
+    keys_dir = _claim_keys_dir("minhash_near_dups.keys")
+    shingle_keys(docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
+    keys_back = spark.read.parquet(keys_dir)
+    sizes = keys_back.select(id_col, F.size("keys").cast("long").alias("_nsh"))
+    # dedup=False: the candidate stream is verified in the SAME stage as the
+    # band join (no candidate-set shuffle at all); the verify is
+    # deterministic per pair, so distinct-after-verify on the tiny
+    # thresholded output is identical to distinct-before-verify
+    pairs = _fused_candidate_pairs(
+        sigs, sizes, id_col, min_sig_matches, threshold_u, dedup=False
     )
-    jac = exact_jaccard_on_pairs(pruned, docs, text_col, id_col)
-    return jac.filter(F.col("jaccard_u") >= threshold_u)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    jac = _verify_pairs_on_keys(pairs, keys_dir, id_type, threshold_u, spread=False)
+    return jac.filter(F.col("jaccard_u") >= threshold_u).distinct()
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25,

@@ -513,3 +513,111 @@ def test_dup_span_digest_keys_equal_raw_sf01(spark):
     ded_dig = Q._dup_span_dedup_frame(docs, digest_keys=True).collect()
     assert sorted(map(tuple, ded_raw)) == sorted(map(tuple, ded_dig))
     assert sum(r["n_removed"] for r in ded_raw) > 0
+
+
+# ---------------------------------------------------------------------------
+# r09 fast-verify internals: the shingle-key packing, the native/numpy
+# intersect kernel, and the fused candidate path must reproduce the
+# pure-python jaccard spec and the staged r08 pipeline exactly
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_keys_match_python_spec():
+    import random
+
+    random.seed(7)
+    vocab = "abcdefgh 0123 àáâãỹệ 日本 😀"
+    texts = ["", "a", "abcd", "abcde"] + [
+        "".join(random.choice(vocab) for _ in range(random.randint(0, 120)))
+        for _ in range(200)
+    ]
+    for t in texts:
+        keys = DD._doc_shingle_keys(t)
+        assert len(keys) == len(DD.shingle_set_py(t))
+        assert np.all(np.diff(keys) > 0)  # strictly sorted, distinct
+
+
+def test_intersect_kernel_matches_jaccard_py():
+    import math
+    import random
+
+    random.seed(9)
+    vocab = "abcdef àỹ "
+    texts = ["".join(random.choice(vocab) for _ in range(random.randint(0, 90)))
+             for _ in range(60)]
+    keys = [DD._doc_shingle_keys(t) for t in texts]
+    lens = np.array([k.size for k in keys], dtype=np.int64)
+    offs = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=np.int64)
+    for i, k in enumerate(keys):
+        flat[offs[i]:offs[i + 1] - 1] = k
+        flat[offs[i + 1] - 1] = np.iinfo(np.int64).max
+    ia = np.array([random.randrange(len(texts)) for _ in range(500)], dtype=np.int64)
+    ib = np.array([random.randrange(len(texts)) for _ in range(500)], dtype=np.int64)
+    ni = DD._intersect_counts(flat, offs, ia, ib)
+    for p in range(500):
+        exp_ni, exp_ju = DD.jaccard_py(texts[ia[p]], texts[ib[p]])
+        assert ni[p] == exp_ni
+        union = lens[ia[p]] + lens[ib[p]] - ni[p]
+        assert int(math.floor(ni[p] * 1e6 / union + 0.5)) == exp_ju
+
+
+def test_minhash_near_dups_fused_equals_staged(spark):
+    """The fused r09 pipeline must equal the staged reference composition
+    (banded LSH -> distinct -> estimate prune -> text-join verify)."""
+    import random
+
+    random.seed(11)
+    vocab = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    base_docs = []
+    for i in range(120):
+        words = [vocab[random.randrange(len(vocab) - 5): ][:5] for _ in range(30)]
+        base_docs.append((i, " ".join(words)))
+    # plant near-dups: copies with small edits
+    for i in range(30):
+        src = base_docs[i][1]
+        base_docs.append((1000 + i, src[: len(src) // 2] + src[len(src) // 2 :].replace("e", "x", 2)))
+    docs = spark.createDataFrame(base_docs, "doc_id long, text string")
+    fused = DD.minhash_near_dups(docs, threshold_u=400_000)
+    sigs = DD.minhash_signatures(docs).persist()
+    staged = (
+        DD.exact_jaccard_on_pairs(
+            DD.sig_estimate_prune(DD.lsh_candidate_pairs(sigs), sigs, "doc_id", 3),
+            docs,
+        ).filter(F.col("jaccard_u") >= 400_000)
+    )
+    got = sorted(map(tuple, fused.collect()))
+    exp = sorted(map(tuple, staged.collect()))
+    sigs.unpersist()
+    assert got == exp and len(got) > 0
+
+
+def test_minhash_cross_near_dups_fused_equals_staged(spark):
+    import random
+
+    random.seed(13)
+    mk = lambda seed, n: "".join(  # noqa: E731
+        random.Random(seed).choice("abcdefgh ij") for _ in range(n)
+    )
+    old = [(f"o{i}", mk(i, 80)) for i in range(60)]
+    new = [(f"n{i}", mk(i, 80) if i < 20 else mk(1000 + i, 80)) for i in range(60)]
+    old_df = spark.createDataFrame(old, "doc_id string, text string")
+    new_df = spark.createDataFrame(new, "doc_id string, text string")
+    fused = DD.minhash_cross_near_dups(new_df, old_df, threshold_u=400_000)
+    sigs_new = DD.minhash_signatures(new_df).persist()
+    sigs_old = DD.minhash_signatures(old_df).persist()
+    all_sigs = sigs_new.unionByName(sigs_old)
+    all_docs = new_df.unionByName(old_df)
+    staged = (
+        DD.exact_jaccard_on_pairs(
+            DD.sig_estimate_prune(
+                DD.lsh_cross_pairs(sigs_new, sigs_old), all_sigs, "doc_id", 3
+            ),
+            all_docs,
+        ).filter(F.col("jaccard_u") >= 400_000)
+    )
+    got = sorted(map(tuple, fused.collect()))
+    exp = sorted(map(tuple, staged.collect()))
+    sigs_new.unpersist(); sigs_old.unpersist()
+    assert got == exp and len(got) > 0
