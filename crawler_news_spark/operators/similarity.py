@@ -667,27 +667,53 @@ def semantic_dedup(
         f"{cache_tag}.clustered", _assign_clusters(q, cent, id_col)
     )
 
-    a = clustered.select(
-        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "cluster"
-    ).withColumn("na", _norm(F.col("ea")))
-    b = clustered.select(
-        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "cluster"
-    ).withColumn("nb", _norm(F.col("eb")))
-    drops = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim_u",
-            F.floor(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 1e6
-                + F.lit(0.5)
-            ).cast("long"),
+    # r09: the pairwise stage is computed per cluster in one Arrow pass —
+    # the r08 cluster self-join materialized BOTH 64-dim vectors per pair
+    # (~12.5M pairs x 1 KB at the 10x gate scale) and paid a per-pair
+    # array-fold; here each cluster's m x m cosine matrix is accumulated
+    # dimension-by-dimension in numpy, which reproduces the EXACT IEEE
+    # operation sequence of the Spark fold (acc_d = acc_{d-1} + a_d*b_d,
+    # norms likewise), so sim_u is bit-identical to the r08 expression.
+    # Kept rows are emitted directly: one leg over `clustered` instead of
+    # three (kept side + both join sides).
+    id_type = {f.name: f.dataType.simpleString() for f in clustered.schema.fields}[id_col]
+
+    def keep_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")  # i<j on ids == row order
+        ids = ids[order]
+        E = np.stack(pdf["e"].map(np.asarray).to_numpy())[order]
+        m, dim = E.shape
+        nacc = np.zeros(m)
+        for d in range(dim):
+            nacc += E[:, d] * E[:, d]  # in-place add: same IEEE add op
+        na = np.sqrt(nacc)
+        dropped = np.zeros(m, dtype=bool)
+        chunk = 2048  # bound the m x chunk similarity block in memory
+        for j0 in range(1, m, chunk):
+            j1 = min(j0 + chunk, m)
+            acc = np.zeros((m, j1 - j0))
+            for d in range(dim):
+                col = E[:, d]
+                acc += col[:, None] * col[None, j0:j1]
+            sim = np.floor(acc / (na[:, None] * na[None, j0:j1]) * 1e6 + 0.5)
+            hit = sim >= threshold_u
+            # a column j is dropped when ANY strictly-lower id row hits it
+            # (the r08 drops kept id_b regardless of id_a's own fate)
+            tri = np.arange(m)[:, None] < np.arange(j0, j1)[None, :]
+            dropped[j0:j1] = (hit & tri).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids[~dropped], "cluster": pdf["cluster"].iloc[0]}
         )
-        .filter(F.col("sim_u") >= threshold_u)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+
+    return (
+        clustered.select(id_col, "e", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(keep_cluster, f"{id_col} {id_type}, cluster int")
     )
-    return clustered.join(drops, id_col, "left_anti").select(id_col, "cluster")
 
 
 def sql_semantic_dedup(
