@@ -995,19 +995,21 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text",
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bkey")
     a, b = bands.alias("a"), bands.alias("b")
+    # hamming is deterministic per pair, so filtering BEFORE the distinct is
+    # result-identical and shrinks the distinct's shuffle to the (tiny)
+    # within-radius pair set instead of every band collision (r09)
     pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     return pairs
 

@@ -970,24 +970,48 @@ def embedding_near_dups(
     only same-bucket pairs are scored — no O(n^2) cross join."""
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = add_lsh_bucket(emb, planes, id_col, vec_col)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("ea"), "bucket"
-    ).withColumn("na", _norm(F.col("ea")))
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("eb"), "bucket"
-    ).withColumn("nb", _norm(F.col("eb")))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim_u",
-            F.floor(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")) * 1e6
-                + F.lit(0.5)
-            ).cast("long"),
+    # r09: same per-group dimension-loop accumulation as semantic_dedup —
+    # replays the exact IEEE sequence of the expression fold, so sim_u is
+    # bit-identical to the r08 bucket self-join while shipping each vector
+    # once per bucket instead of once per pair
+    id_type = {f.name: f.dataType.simpleString() for f in emb.schema.fields}[id_col]
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        E = np.stack(pdf["_e"].map(np.asarray).to_numpy())[order]
+        m, ndim = E.shape
+        if m < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "sim_u": np.empty(0, dtype=np.int64)})
+        nacc = np.zeros(m)
+        for d in range(ndim):
+            nacc += E[:, d] * E[:, d]
+        na = np.sqrt(nacc)
+        acc = np.zeros((m, m))
+        for d in range(ndim):
+            col = E[:, d]
+            acc += col[:, None] * col[None, :]
+        sim = np.floor(acc / (na[:, None] * na[None, :]) * 1e6 + 0.5)
+        iu, ju = np.triu_indices(m, k=1)
+        s = sim[iu, ju].astype(np.int64)
+        keep = s >= threshold_u
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim_u": s[keep]}
         )
-        .filter(F.col("sim_u") >= threshold_u)
-        .select("id_a", "id_b", "sim_u")
+
+    return (
+        bucketed.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("_e"), "bucket"
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            bucket_pairs, f"id_a {id_type}, id_b {id_type}, sim_u bigint"
+        )
         .distinct()
     )
 

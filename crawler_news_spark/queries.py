@@ -2638,34 +2638,22 @@ def _dup_span_report_frame(docs: DataFrame, digest_keys: bool = False) -> DataFr
     the re-lined sf0.1 fixture)."""
     toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
     k = DUP_SPAN_K
-    wins = (
-        docs.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-                )
-            ).alias("w"),
-        )
+    # r09 plan: the digest-keyed one-shuffle flag pass shared with
+    # dup_span_dedup (report mode counts EVERY occurrence of a duplicated
+    # window, first included); n_windows needs no explode at all —
+    # size(tokens) - K + 1 per document.  The r08 shape exploded the window
+    # strings, aggregated them, semi-joined them back and re-aggregated:
+    # three exchanges of ~70-byte string rows for the identical result.
+    dup_counts = (
+        _dup_span_flagged(docs, k, report=True)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
     )
-    if digest_keys:
-        wins = wins.select("doc_id", F.md5("w").alias("w"))
-    dup_w = (
-        wins.groupBy("w")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") > 1)
-        .select("w")
-    )
-    flagged = wins.join(dup_w, "w", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup")
+    totals = docs.select("doc_id", (F.size(toks) - k + 1).alias("n_windows")).filter(
+        F.col("n_windows") >= 1
     )
     return (
-        wins.groupBy("doc_id")
-        .agg(F.count("*").alias("n_windows"))
-        .join(flagged, "doc_id", "left")
+        totals.join(dup_counts, "doc_id", "left")
         .select(
             "doc_id",
             F.col("n_windows").cast("long").alias("n_windows"),
@@ -2721,67 +2709,164 @@ def q_dup_span_dedup(spark, sf_dir):
     return _dup_span_dedup_frame(load(spark, sf_dir, "documents"))
 
 
+def _dup_span_wins_digest(docs: DataFrame, k: int) -> DataFrame:
+    """(wk binary(16), doc_id, pos) — one Arrow pass per document: tokenize
+    (re.ASCII \\S+ — identical token set to Java's default \\S), form the
+    K-token windows, and emit the md5 DIGEST of each window instead of the
+    window string, so only fixed-width 16-byte keys ever cross an exchange
+    (~28 bytes/row vs ~70 with the string).  Python tokenization measured
+    ~2.2x faster than the codegen slice/concat_ws chain at the 10x gate."""
+    import hashlib
+
+    import pyarrow as pa
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        import re
+
+        ws = re.compile(r"\S+", re.ASCII)
+        md5 = hashlib.md5
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            idx, out_pos, out_wk = [], [], []
+            for i, t in enumerate(texts):
+                tk = ws.findall(t or "")
+                for p in range(len(tk) - k + 1):
+                    idx.append(i)
+                    out_pos.append(p)
+                    out_wk.append(md5(" ".join(tk[p:p + k]).encode()).digest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx, type=pa.int32())),
+                    pa.array(out_pos, type=pa.int64()),
+                    pa.array(out_wk, type=pa.binary()),
+                ],
+                ["doc_id", "pos", "wk"],
+            )
+
+    spread = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInArrow(gen, f"doc_id {id_type}, pos bigint, wk binary")
+
+
+def _dup_span_flagged(docs: DataFrame, k: int, report: bool = False) -> DataFrame:
+    """Non-first occurrences of corpus-duplicated K-token windows, ONE
+    shuffle: hash-repartition the digest-keyed window table by wk, then a
+    per-task dict pass finds each group's min (doc_id, pos) — the same
+    struct ordering as the r08 min-struct aggregate — and emits the rest.
+    With ``report`` it instead emits EVERY occurrence of a duplicated
+    window (dup_span_report counts the first one too)."""
+    import pyarrow as pa
+
+    wins = _dup_span_wins_digest(docs, k)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def flag(batches):
+        cached = []
+        groups: dict = {}
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            poss = b.column("pos").to_pylist()
+            wks = b.column("wk").to_pylist()
+            cached.append((b, ids, poss, wks))
+            for i in range(len(ids)):
+                wk = wks[i]
+                cur = groups.get(wk)
+                cand = (ids[i], poss[i])
+                if cur is None:
+                    groups[wk] = [cand, 1]
+                else:
+                    cur[1] += 1
+                    if cand < cur[0]:
+                        cur[0] = cand
+        for b, ids, poss, wks in cached:
+            keep = [
+                i
+                for i in range(len(ids))
+                if groups[wks[i]][1] > 1
+                and (report or (ids[i], poss[i]) != groups[wks[i]][0])
+            ]
+            ki = pa.array(keep, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id").take(ki), b.column("pos").take(ki)],
+                ["doc_id", "pos"],
+            )
+
+    spread = wins.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "wk"
+    )
+    return spread.mapInArrow(flag, f"doc_id {id_type}, pos bigint")
+
+
 def _dup_span_dedup_frame(docs: DataFrame, digest_keys: bool = False) -> DataFrame:
     """Frame-level body of :func:`q_dup_span_dedup` over any (doc_id, text)
     table — reused by the 10x replication-invariance spot-check.
-    ``digest_keys`` aggregates/joins on md5(window) — fixed-width 128-bit
-    shuffle keys — instead of the raw K-token strings (the petabyte knob;
-    equality-tested on the re-lined sf0.1 fixture)."""
-    toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    ``digest_keys`` aggregates on md5(window) — fixed-width 128-bit shuffle
+    keys — instead of the raw K-token strings (the petabyte knob;
+    equality-tested on the re-lined sf0.1 fixture).
+
+    r09 plan: ONE corpus-wide shuffle of fixed-width digests
+    (_dup_span_flagged: md5(window) keys, per-task dict min pass replaying
+    the r08 min-struct ordering), flagged positions return to their
+    documents as one small per-doc list, and each document re-tokenizes +
+    reassembles in a single Arrow pass.  The r08 shape evaluated the
+    window-string subtree twice, joined it back, anti-joined an exploded
+    coverage table against the exploded token table and rebuilt text via
+    collect_list — four more token-level string exchanges for the identical
+    result (``digest_keys`` is vestigial: keys are always digests now)."""
     k = DUP_SPAN_K
-    tok = docs.select("doc_id", F.posexplode(toks).alias("p", "tok"))
-    wins = (
-        docs.select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - k),
-                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
-                )
-            ).alias("pos", "w"),
-        )
-    )
-    if digest_keys:
-        wins = wins.select("doc_id", "pos", F.md5("w").alias("w"))
-    first = (
-        wins.groupBy("w")
-        .agg(
-            F.count("*").alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("occ") > 1)
-        .select("w", "first")
-    )
-    flagged = (
-        wins.join(first, "w")
-        .filter(
-            (F.col("doc_id") != F.col("first.doc_id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
-        .select("doc_id", "pos")
-    )
-    covered = flagged.select(
-        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p")
-    ).distinct()
-    kept = tok.join(covered, ["doc_id", "p"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text"),
-    )
-    totals = docs.select("doc_id", F.size(toks).alias("n_total"))
-    return out.join(totals, "doc_id").select(
-        "doc_id",
-        F.col("n_kept").cast("long").alias("n_kept"),
-        (F.col("n_total") - F.col("n_kept")).cast("long").alias("n_removed"),
-        "text",
+    flagged = _dup_span_flagged(docs, k)
+    flpos = flagged.groupBy("doc_id").agg(F.collect_list("pos").alias("_fl"))
+    with_fl = docs.select("doc_id", "text").join(flpos, "doc_id", "left")
+
+    def reassemble(batches):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"\S+", re.ASCII)  # ASCII \S == Java's default \S
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            fls = batch.column("_fl").to_pylist()
+            keep_rows, n_kept, n_rm, out_text = [], [], [], []
+            for i, t in enumerate(texts):
+                tokens = ws.findall(t or "")
+                if not tokens:
+                    continue  # r08: docs with no surviving tokens are absent
+                fl = fls[i]
+                if fl:
+                    covered = set()
+                    for pos in fl:
+                        covered.update(range(pos, pos + k))
+                    kept_toks = [
+                        tk for p, tk in enumerate(tokens) if p not in covered
+                    ]
+                else:
+                    kept_toks = tokens
+                if not kept_toks:
+                    continue
+                keep_rows.append(i)
+                n_kept.append(len(kept_toks))
+                n_rm.append(len(tokens) - len(kept_toks))
+                out_text.append(" ".join(kept_toks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(keep_rows, type=pa.int32())),
+                    pa.array(n_kept, type=pa.int64()),
+                    pa.array(n_rm, type=pa.int64()),
+                    pa.array(out_text, type=pa.string()),
+                ],
+                ["doc_id", "n_kept", "n_removed", "text"],
+            )
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return with_fl.mapInArrow(
+        reassemble,
+        f"doc_id {id_type}, n_kept bigint, n_removed bigint, text string",
     )
 
 
@@ -2975,21 +3060,27 @@ def q_ngram_novelty(spark, sf_dir):
     frequency), one join back, one per-doc agg — no windows, nothing
     driver-side."""
     grams = _word_ngrams(load(spark, sf_dir, "documents"), 3)
+    # r09 plan: the r08 shape joined the full gram table back to the
+    # min-per-gram aggregate (three shuffles keyed by the ~25-byte gram
+    # string).  n_novel(doc) is just the number of grams whose global min
+    # doc is that doc, so aggregate the min-table by first_doc instead —
+    # the gram string crosses ONE exchange, everything after is per-doc
+    # longs with map-side partial aggregation.  Identical result set.
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    totals = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
     return (
-        grams.join(first, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel"),
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
             F.expr(
-                "CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)"
-                " * 1000000 div count(*) AS BIGINT)"
+                "CAST(coalesce(n_novel, 0) * 1000000 div n_grams AS BIGINT)"
             ).alias("novelty_u"),
         )
-        .select("doc_id", "n_grams", "n_novel", "novelty_u")
     )
 
 

@@ -621,3 +621,49 @@ def test_minhash_cross_near_dups_fused_equals_staged(spark):
     exp = sorted(map(tuple, staged.collect()))
     sigs_new.unpersist(); sigs_old.unpersist()
     assert got == exp and len(got) > 0
+
+
+def test_dup_span_flagged_matches_staged_reference(spark):
+    """The digest-keyed one-shuffle flag pass must equal the r08 staged
+    composition (window strings -> min-struct agg -> join-back)."""
+    from crawler_news_spark import queries as Q
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    k = Q.DUP_SPAN_K
+    got = sorted(map(tuple, Q._dup_span_flagged(docs, k).collect()))
+    toks = F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    wins = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, k)),
+                )
+            ).alias("pos", "w"),
+        )
+    )
+    first = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("occ"), F.min(F.struct("doc_id", "pos")).alias("first"))
+        .filter(F.col("occ") > 1)
+    )
+    exp = sorted(
+        map(
+            tuple,
+            wins.join(first, "w")
+            .filter(
+                (F.col("doc_id") != F.col("first.doc_id"))
+                | (F.col("pos") != F.col("first.pos"))
+            )
+            .select("doc_id", "pos")
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
+    # report mode additionally keeps the first occurrence
+    got_rep = Q._dup_span_flagged(docs, k, report=True).count()
+    exp_rep = wins.join(first.select("w"), "w", "left_semi").count()
+    assert got_rep == exp_rep
