@@ -909,25 +909,47 @@ SQL_FINGERPRINT_Q = f"SELECT doc_id, {TX.SQL_FINGERPRINT} AS fp FROM documents"
 
 
 def _word_ngrams(docs, n: int):
-    """(doc_id, gram) — DISTINCT word n-grams per document, pure codegen.
+    """(doc_id, gram) — DISTINCT word n-grams per document, one Arrow pass.
 
-    The token array is STAGED as a named column before the gram transform:
-    inlining the regexp_extract_all into the lambda re-evaluates the regex
-    once per element access (n gets x ~70 grams ≈ 350 regex runs per row —
-    measured 10.8 s for 5k docs; staged: sub-second)."""
-    staged = docs.select(
-        "doc_id",
-        F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0)).alias("_w"),
+    r09: the codegen form (staged token array + transform/F.get/concat_ws +
+    array_distinct) measured 3.8 s for 50k docs — per-gram array access and
+    string building dominate; the Python loop below is the same work at
+    ~4x less cost and the gram strings cross the boundary once.  Emission
+    preserves array_distinct's first-occurrence order (dict.fromkeys) and
+    re.ASCII \\S+ produces the identical token set to Java's default \\S."""
+    import pyarrow as pa
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        import re
+
+        ws = re.compile(r"\S+", re.ASCII)
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            idx, out = [], []
+            for i, t in enumerate(texts):
+                tk = ws.findall(t or "")
+                if len(tk) < n:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(tk[p:p + n]) for p in range(len(tk) - n + 1)
+                )
+                idx.extend([i] * len(grams))
+                out.extend(grams)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx, type=pa.int32())),
+                    pa.array(out, type=pa.string()),
+                ],
+                ["doc_id", "g"],
+            )
+
+    spread = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
-    words = F.col("_w")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
-    )
-    safe = F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-    return staged.select("doc_id", F.explode(safe).alias("g"))
+    return spread.mapInArrow(gen, f"doc_id {id_type}, g string")
 
 
 def q_decontaminate(spark, sf_dir):
@@ -977,19 +999,37 @@ def q_top_keywords(spark, sf_dir):
             F.regexp_extract_all(F.lower(F.trim(F.col("text"))), F.lit(r"[a-z]{3,}"), F.lit(0))
         ).alias("w"),
     )
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("_df"))
-    kept_words = (
-        dfreq.crossJoin(F.broadcast(n))
-        .filter(F.col("_df") <= F.greatest(F.lit(1), F.expr("_n div 4")))
-        .select("w")
+    # r09 plan: one word-keyed exchange (hash partitioning on `w` alone
+    # satisfies the (w, doc_id) aggregation and the df window), df-cap
+    # filter inline, in-array top-3 per doc with the identical
+    # (tf desc, w asc) tie order as the r08 row_number window — the r08
+    # shape shuffled the tf table twice more (df aggregate + join-back).
+    tf = words.repartition("w").groupBy("w", "doc_id").agg(
+        F.count("*").alias("tf")
     )
-    kept = tf.join(kept_words, "w")
-    rk = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("w"))
-    return (
-        kept.withColumn("rank", F.row_number().over(rk))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", F.col("w").alias("keyword"), "tf", "rank")
+    kept = (
+        tf.withColumn("_df", F.count("*").over(Window.partitionBy("w")))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("_df") <= F.greatest(F.lit(1), F.expr("_n div 4")))
+    )
+    top3 = kept.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("tf")).alias("_nt"), "w", "tf")
+                )
+            ),
+            1,
+            3,
+        ).alias("_top")
+    )
+    return top3.select(
+        "doc_id", F.posexplode("_top").alias("_i", "_s")
+    ).select(
+        "doc_id",
+        F.col("_s.w").alias("keyword"),
+        F.col("_s.tf").alias("tf"),
+        (F.col("_i") + 1).cast("int").alias("rank"),
     )
 
 
@@ -1641,7 +1681,12 @@ def _crawled_bodies(spark, web) -> DataFrame:
     if key in _CRAWL_BODY_MEMO:
         return _CRAWL_BODY_MEMO[key][1]
     root = tempfile.mkdtemp(prefix="corpus_cat_")
-    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=3, bloom_buckets=4))
+    # batch_pages is pure execution batching: the crawled document SET (and
+    # so every downstream corpus stage) is identical at any setting — doc_id
+    # is the URL and the crawl is exhaustive (verified content-hash-equal at
+    # 3/8/16/64).  16 fetches each category's pagination in one round
+    # instead of 3-page rounds: warm A/B 8.5-10 s -> 7.1-7.4 s (r09).
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=16, bloom_buckets=4))
     wc.run()
     body = wc.documents_df().select(
         "doc_id",
@@ -2588,24 +2633,47 @@ def q_tfidf_top_terms(spark, sf_dir):
             F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
         ).alias("term"),
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_"))
+    # r09 plan: one term-keyed exchange.  Hash partitioning on `term` alone
+    # satisfies the (term, doc_id) aggregation AND the df window (df = rows
+    # per term of the tf table), so tf, df and score all come out of that
+    # single exchange; the r08 shape shuffled the tf table twice more (df
+    # aggregate + join-back).  The top-3 is an in-array sort/slice per doc
+    # with the identical (score desc, term asc) tie order the row_number
+    # window used — one doc-keyed exchange of ~60 structs per doc.
+    tf = words.repartition("term").groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
     n = docs.agg(F.count("*").alias("_n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
             (F.col("tf") * F.expr("(_n * 1000) div df_")).cast("long"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("term")
+    top3 = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("_ns"),
+                        F.col("term"),
+                        F.col("score"),
+                    )
+                )
+            ),
+            1,
+            3,
+        ).alias("_top")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "rank", "score")
+    return top3.select(
+        "doc_id", F.posexplode("_top").alias("_i", "_s")
+    ).select(
+        "doc_id",
+        F.col("_s.term").alias("term"),
+        (F.col("_i") + 1).cast("int").alias("rank"),
+        F.col("_s.score").alias("score"),
     )
 
 
@@ -3131,24 +3199,29 @@ def q_rare_token_score(spark, sf_dir):
             F.regexp_extract_all(F.trim(F.col("text")), F.lit(r"\S+"), F.lit(0))
         ).alias("tok"),
     )
-    df_tbl = (
-        words.distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
+    # r09 plan: one token-keyed exchange.  (tok, doc_id) counts aggregate on
+    # the tok partitioning, df = rows per tok of that table (window count),
+    # and the per-occurrence weight sum is sum(weight * cnt) — the r08
+    # shape shuffled the word table three more times (distinct, df
+    # aggregate, join-back).  Integer expressions unchanged:
+    # sum(weight) over occurrences == sum(weight * cnt) over (tok, doc).
+    cnt = words.repartition("tok").groupBy("tok", "doc_id").agg(
+        F.count("*").alias("cnt")
+    )
+    weighted = (
+        cnt.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
         .crossJoin(F.broadcast(n))
-        .select(
-            "tok",
-            F.least(F.expr("_n div df"), F.lit(RARE_WEIGHT_CAP)).alias("weight"),
+        .withColumn(
+            "weight", F.least(F.expr("_n div df"), F.lit(RARE_WEIGHT_CAP))
         )
     )
     return (
-        words.join(df_tbl, "tok")
-        .groupBy("doc_id")
+        weighted.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tok"),
-            F.expr("CAST(sum(weight) * 1000 div count(*) AS BIGINT)").alias(
-                "rare_score_u"
-            ),
+            F.sum("cnt").cast("long").alias("n_tok"),
+            F.expr(
+                "CAST(sum(weight * cnt) * 1000 div sum(cnt) AS BIGINT)"
+            ).alias("rare_score_u"),
         )
         .select("doc_id", "n_tok", "rare_score_u")
     )
