@@ -214,7 +214,14 @@ class SemanticCrossIndex:
             self._sig_cols(feat),
             self._sig_cols(self.members),
             rows_per_band=self.rows_per_band,
-        )
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        # the self-pair filter makes a REPLAYED epoch idempotent (ADVICE
+        # r08 high): after absorb(), re-running ingest_batch for the same
+        # epoch would otherwise band-collide every accepted doc with its
+        # own absorbed copy (cosine exactly 1.0) and silently replace the
+        # committed epoch directory with a near-empty set.  A doc can never
+        # be a semantic duplicate of itself; all other decisions are
+        # deterministic, so the epoch-keyed overwrite is exact again.
         return (
             self._verify(pairs, feat, self.members)
             .select(F.col("doc_a").alias("doc_id"))

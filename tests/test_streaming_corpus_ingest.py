@@ -250,3 +250,29 @@ def test_streaming_semantic_rung_within_and_cross_epoch_new_dups(spark, tmp_path
 
     idx.unpersist()
     existing.unpersist()
+
+
+def test_semantic_epoch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r08 high: after absorb(), a replay of the SAME epoch (query
+    restart re-delivering the last batch) must overwrite the committed
+    epoch directory with the identical accepted set — previously every
+    accepted doc band-collided with its own absorbed copy (cosine exactly
+    1.0) and the replayed epoch came back near-empty."""
+    docs = {f"old-{i:02d}": _sem_doc(i) for i in range(20)}
+    existing = spark.createDataFrame(list(docs.items()), CI.DOC_SCHEMA).persist()
+    idx = CI.SemanticCrossIndex(spark, existing, dim=64, threshold_u=750_000)
+
+    novel = sorted({f"new-{i:02d}": _sem_doc(2000 + i) for i in range(8)}.items())
+    out = str(tmp_path / "acc")
+    batch = spark.createDataFrame(novel, CI.DOC_SCHEMA)
+    CI.ingest_batch(spark, batch, existing, out, 0, semantic=idx)
+    first = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert first == {d for d, _ in novel}
+
+    # replay epoch 0 against the already-absorbed index
+    CI.ingest_batch(spark, batch, existing, out, 0, semantic=idx)
+    replayed = {r["doc_id"] for r in CI.read_accepted(spark, out).collect()}
+    assert replayed == first
+
+    idx.unpersist()
+    existing.unpersist()
