@@ -114,15 +114,33 @@ def minhash_sigs_py(text: str) -> list[int]:
     return [min((u1 + i * u2) % MH_P for u1, u2 in uv) for i in range(N_SIGS)]
 
 
+# per-worker shingle-hash memo: md5 is pure, and 5-char shingles of a
+# shared-vocabulary corpus repeat heavily across documents (measured 0.3%
+# distinct on the bench docs -> memo 4.5x), but a high-entropy corpus gets
+# no hits (97% distinct on the 10x gate docs -> memo is pure dict
+# overhead).  The memo therefore watches its own hit rate and disables
+# itself per worker when misses dominate.  Bounded: cleared at the cap
+# (~100 MB) rather than LRU-tracked.
+_MH_SHINGLE_MEMO: dict[str, tuple[int, int]] = {}
+_MH_SHINGLE_MEMO_CAP = 2_000_000
+_MH_MEMO_STATE = {"lookups": 0, "hits": 0, "enabled": True}
+
+
 def _sigs_batch(texts) -> "np.ndarray":  # noqa: F821
     """Vectorized minhash_sigs_py over a batch: (len(texts), N_SIGS).
 
-    md5 once per distinct shingle per doc (the only Python-loop cost,
-    ~0.2 ms/doc); the k transforms + min are numpy."""
+    md5 once per distinct shingle per WORKER when the memo pays
+    (int.from_bytes on the raw digest — same value as the hex-slice
+    parse: hex[:10] IS digest[:5] big-endian); the k transforms + min are
+    numpy."""
     import hashlib
 
     import numpy as np
 
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    memo = _MH_SHINGLE_MEMO
+    state = _MH_MEMO_STATE
     out = np.empty((len(texts), N_SIGS), dtype=np.int64)
     I = np.arange(N_SIGS, dtype=np.uint64).reshape(-1, 1)
     P = np.uint64(MH_P)
@@ -131,10 +149,30 @@ def _sigs_batch(texts) -> "np.ndarray":  # noqa: F821
         n = max(len(t) - (SHINGLE - 1), 1)
         shs = {t[i : i + SHINGLE] for i in range(n)}
         uv = np.empty((len(shs), 2), dtype=np.uint64)
-        for k, s in enumerate(shs):
-            hx = hashlib.md5(s.encode()).hexdigest()
-            uv[k, 0] = int(hx[:10], 16)
-            uv[k, 1] = int(hx[10:20], 16)
+        if state["enabled"]:
+            hits = 0
+            for k, s in enumerate(shs):
+                hit = memo.get(s)
+                if hit is None:
+                    d = md5(s.encode()).digest()
+                    hit = (from_bytes(d[:5], "big"), from_bytes(d[5:10], "big"))
+                    if len(memo) >= _MH_SHINGLE_MEMO_CAP:
+                        memo.clear()
+                    memo[s] = hit
+                else:
+                    hits += 1
+                uv[k, 0] = hit[0]
+                uv[k, 1] = hit[1]
+            state["lookups"] += len(shs)
+            state["hits"] += hits
+            if state["lookups"] >= 200_000 and state["hits"] < state["lookups"] * 0.3:
+                state["enabled"] = False  # high-entropy corpus: stop paying
+                memo.clear()
+        else:
+            for k, s in enumerate(shs):
+                d = md5(s.encode()).digest()
+                uv[k, 0] = from_bytes(d[:5], "big")
+                uv[k, 1] = from_bytes(d[5:10], "big")
         u1 = uv[:, 0] % P
         u2 = uv[:, 1] % P
         out[r] = ((u1[None, :] + I * u2[None, :]) % P).min(axis=1).astype(np.int64)
@@ -268,16 +306,37 @@ def minhash_cross_near_dups(new_docs: DataFrame, old_docs: DataFrame,
     all_docs = new_docs.select(id_col, text_col).unionByName(
         old_docs.select(id_col, text_col)
     )
-    keys_dir = _claim_keys_dir("minhash_cross.keys")
-    shingle_keys(all_docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
-    keys_back = spark.read.parquet(keys_dir)
+    import os
+
+    # same strategy pick as the self-join pipeline (see minhash_near_dups):
+    # selective candidate streams join the key arrays onto the pairs, dense
+    # ones amortize the per-worker side-file load; decided from the cached
+    # sigs BEFORE the key table is produced
+    ratio = float(os.environ.get("SPARK_GRAFT_MH_JOIN_VERIFY_RATIO", "8"))
+    bound = _raw_pair_bound(sigs_new, sigs_b=sigs_old, id_col=id_col)
+    n_docs = sigs_new.count() + sigs_old.count()  # both cached by the probe
+    id_type = new_docs.schema[id_col].dataType.simpleString()
+    if bound <= ratio * max(n_docs, 1):
+        keys_back = _cache.claim(
+            "minhash_cross.keys_df", shingle_keys(all_docs, text_col, id_col)
+        )
+        verify = lambda pairs: _verify_pairs_join(  # noqa: E731
+            pairs, keys_back, id_col, id_type, threshold_u
+        )
+    else:
+        keys_dir = _claim_keys_dir("minhash_cross.keys")
+        shingle_keys(all_docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
+        keys_back = spark.read.parquet(keys_dir)
+        verify = lambda pairs: _verify_pairs_on_keys(  # noqa: E731
+            pairs, keys_dir, id_type, threshold_u, spread=False
+        )
     sizes = keys_back.select(id_col, F.size("keys").cast("long").alias("_nsh"))
     pairs = _fused_candidate_pairs(
         sigs_new, sizes, id_col, min_sig_matches, threshold_u,
         sigs_b=sigs_old, sizes_b=sizes, dedup=False,
+        broadcast_bands=n_docs <= _broadcast_max_docs(),
     )
-    id_type = new_docs.schema[id_col].dataType.simpleString()
-    jac = _verify_pairs_on_keys(pairs, keys_dir, id_type, threshold_u, spread=False)
+    jac = verify(pairs)
     return jac.filter(F.col("jaccard_u") >= threshold_u).distinct()
 
 
@@ -571,6 +630,104 @@ def _intersect_counts(flat, offs, ia, ib) -> "np.ndarray":  # noqa: F821
 _KEYS_CACHE: dict[str, tuple] = {}
 
 
+def _flat_sent_from_list(col):
+    """(flat, offs) with the same int64-max sentinel layout as
+    _load_keys_table, built zero-copy from one Arrow list<int64> column —
+    row i occupies [offs[i], offs[i+1]) with the last slot = sentinel."""
+    import numpy as np
+
+    raw = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offs0 = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(offs0) - 1
+    offs = offs0 + np.arange(n + 1, dtype=np.int64)
+    flat = np.empty(raw.size + n, dtype=np.int64)
+    keep = np.ones(flat.size, dtype=bool)
+    keep[offs[1:] - 1] = False
+    flat[keep] = raw
+    flat[offs[1:] - 1] = np.iinfo(np.int64).max
+    return flat, offs
+
+
+def _verify_pairs_join(pairs: DataFrame, keys_back: DataFrame, id_col: str,
+                       id_type: str, threshold_u: int) -> DataFrame:
+    """Exact Jaccard on candidate pairs by JOINING the sorted key arrays
+    onto the pair stream — the selective-corpus twin of
+    _verify_pairs_on_keys: identical sorted-merge intersect and identical
+    IEEE jaccard math, but only the candidate docs' key arrays ever move,
+    and no worker loads the full side table.  Right when the candidate
+    stream is small relative to the corpus (see minhash_near_dups); the
+    side-file path amortizes better when candidates number in the
+    millions."""
+    import numpy as np
+    import pyarrow as pa
+
+    ka = keys_back.select(F.col(id_col).alias("doc_a"), F.col("keys").alias("_ka"))
+    kb = keys_back.select(F.col(id_col).alias("doc_b"), F.col("keys").alias("_kb"))
+    j = pairs.join(ka, "doc_a").join(kb, "doc_b").select(
+        "doc_a", "doc_b", "_ka", "_kb"
+    )
+
+    def fn(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            fa, oa = _flat_sent_from_list(batch.column("_ka"))
+            fb, ob = _flat_sent_from_list(batch.column("_kb"))
+            flat = np.concatenate([fa, fb])
+            offs = np.concatenate([oa, fa.size + ob])
+            ia = np.arange(n, dtype=np.int64)
+            ib = np.arange(n + 1, 2 * n + 1, dtype=np.int64)
+            ni_out = _intersect_counts(flat, offs, ia, ib)
+            n_a = oa[1:] - oa[:-1] - 1
+            n_b = ob[1:] - ob[:-1] - 1
+            union = n_a + n_b - ni_out
+            ju_out = np.floor(ni_out * 1e6 / union + 0.5).astype(np.int64)
+            keep_idx = pa.array(np.nonzero(ju_out >= threshold_u)[0])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_a").take(keep_idx),
+                    batch.column("doc_b").take(keep_idx),
+                    pa.array(ni_out.take(keep_idx)),
+                    pa.array(ju_out.take(keep_idx)),
+                ],
+                ["doc_a", "doc_b", "n_inter", "jaccard_u"],
+            )
+
+    schema = (f"doc_a {id_type}, doc_b {id_type}, "
+              "n_inter bigint, jaccard_u bigint")
+    return j.mapInArrow(fn, schema)
+
+
+def _raw_pair_bound(sigs: DataFrame, rows_per_band: int = 2,
+                    sigs_b: DataFrame | None = None,
+                    id_col: str = "doc_id") -> int:
+    """Upper bound on the banded-LSH candidate stream: sum over band-key
+    groups of C(k,2) (self-join) or k_a*k_b (cross).  A cheap aggregate on
+    the skinny band table of the (cached) signature relation — used to pick
+    the verify strategy before anything heavy runs.  Upper bound because
+    the est/size filters only shrink the stream, so overestimating errs
+    toward the side-file path (the safe error at scale)."""
+    ba, cols = _band_table(sigs, id_col, rows_per_band)
+    if sigs_b is None:
+        row = (
+            ba.groupBy(*cols).count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("b"))
+            .collect()
+        )
+    else:
+        bb, _ = _band_table(sigs_b, id_col, rows_per_band)
+        ga = ba.groupBy(*cols).agg(F.count("*").alias("ca"))
+        gb = bb.groupBy(*cols).agg(F.count("*").alias("cb"))
+        row = (
+            ga.join(gb, cols)
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("b"))
+            .collect()
+        )
+    v = row[0][0]
+    return int(v) if v is not None else 0
+
+
 def _load_keys_table(path: str) -> tuple:
     """Load the key side file into (flat, offs, index) where each row's
     segment in ``flat`` is followed by an int64-max sentinel: searchsorted
@@ -672,12 +829,24 @@ def _size_bound_ok(threshold_u: int):
     return F.floor(mn * F.lit(1e6) / mx + F.lit(0.5)) >= F.lit(threshold_u)
 
 
+def _broadcast_max_docs() -> int:
+    """Corpus-size cap for broadcasting the enriched band table (~1.3 KB
+    per doc at 4 bands x 8 sigs): the default 500k docs keeps the build
+    relation ~650 MB, far under the 8 GB broadcast cap, and is
+    deployment-tunable via SPARK_GRAFT_MH_BROADCAST_MAX_DOCS — beyond it
+    the band join falls back to a (scale-safe) shuffle join."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_MH_BROADCAST_MAX_DOCS", "500000"))
+
+
 def _fused_candidate_pairs(sigs: DataFrame, sizes: DataFrame, id_col: str,
                            min_matches: int, threshold_u: int,
                            sigs_b: DataFrame | None = None,
                            sizes_b: DataFrame | None = None,
                            rows_per_band: int = 2,
-                           dedup: bool = True) -> DataFrame:
+                           dedup: bool = True,
+                           broadcast_bands: bool = True) -> DataFrame:
     """Banded LSH candidates with the estimate prune AND the size bound
     fused into the band join, BEFORE the distinct — per-pair deterministic
     filters commute with distinct, so the result equals
@@ -731,8 +900,11 @@ def _fused_candidate_pairs(sigs: DataFrame, sizes: DataFrame, id_col: str,
     )
     # the enriched band table is n_docs x n_bands skinny rows — broadcast one
     # side so neither side shuffles (post-explode size estimates otherwise
-    # push the planner to a sort-merge join: 2 Exchanges + Sorts at r09 start)
-    joined = ba.join(F.broadcast(bb), ["band", *vcols])
+    # push the planner to a sort-merge join: 2 Exchanges + Sorts at r09
+    # start).  broadcast_bands=False (corpus above the broadcast cap —
+    # see _broadcast_max_docs) keeps the scale-safe shuffle join.
+    joined = ba.join(F.broadcast(bb) if broadcast_bands else bb,
+                     ["band", *vcols])
     if not cross:
         joined = joined.filter(F.col("doc_a") < F.col("doc_b"))
     out = (
@@ -758,26 +930,58 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text",
 
     The signature table is persisted (named slot: a repeat invocation
     releases the previous generation); the shingle-key table is
-    materialized once to a parquet side file that verify tasks read
-    locally — candidate pairs shuffle ids only, never texts.
+    materialized once to a parquet side file.
+
+    The exact verify picks its strategy from a cheap candidate-stream
+    upper bound (sum of C(k,2) over band-key groups on the cached sigs):
+    a SELECTIVE corpus (few candidates — e.g. low vocabulary overlap)
+    joins the key arrays onto the pair stream, moving only the candidate
+    docs' keys; a DENSE candidate stream (millions of pairs) uses the
+    side-file path, where each reused worker loads the key table once and
+    pairs shuffle ids only.  Breakeven: join-verify ships ~2*bound key
+    arrays once, the side file loads n_docs arrays in each of W workers,
+    so join wins while bound <~ (W/2)*n_docs; the default ratio 8 is half
+    that at W=32 and tunable via SPARK_GRAFT_MH_JOIN_VERIFY_RATIO for
+    other worker counts.  Both paths run the identical sorted-merge
+    intersect and IEEE jaccard math, so the result is bit-identical
+    (equality pytest pins it).
     """
+    import os
+
     from . import _cache
 
     spark = docs.sparkSession
     sigs = _cache.claim("minhash_near_dups.sigs", minhash_signatures(docs, text_col, id_col))
-    keys_dir = _claim_keys_dir("minhash_near_dups.keys")
-    shingle_keys(docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
-    keys_back = spark.read.parquet(keys_dir)
+    # strategy pick needs only the (cached) sigs — decided BEFORE the key
+    # table is produced, so the selective path never writes the side file
+    ratio = float(os.environ.get("SPARK_GRAFT_MH_JOIN_VERIFY_RATIO", "8"))
+    bound = _raw_pair_bound(sigs, id_col=id_col)
+    n_docs = sigs.count()  # cached by the bound probe — no recompute
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if bound <= ratio * max(n_docs, 1):
+        keys_back = _cache.claim(
+            "minhash_near_dups.keys_df", shingle_keys(docs, text_col, id_col)
+        )
+        verify = lambda pairs: _verify_pairs_join(  # noqa: E731
+            pairs, keys_back, id_col, id_type, threshold_u
+        )
+    else:
+        keys_dir = _claim_keys_dir("minhash_near_dups.keys")
+        shingle_keys(docs, text_col, id_col).write.parquet(keys_dir, mode="overwrite")
+        keys_back = spark.read.parquet(keys_dir)
+        verify = lambda pairs: _verify_pairs_on_keys(  # noqa: E731
+            pairs, keys_dir, id_type, threshold_u, spread=False
+        )
     sizes = keys_back.select(id_col, F.size("keys").cast("long").alias("_nsh"))
     # dedup=False: the candidate stream is verified in the SAME stage as the
     # band join (no candidate-set shuffle at all); the verify is
     # deterministic per pair, so distinct-after-verify on the tiny
     # thresholded output is identical to distinct-before-verify
     pairs = _fused_candidate_pairs(
-        sigs, sizes, id_col, min_sig_matches, threshold_u, dedup=False
+        sigs, sizes, id_col, min_sig_matches, threshold_u, dedup=False,
+        broadcast_bands=n_docs <= _broadcast_max_docs(),
     )
-    id_type = docs.schema[id_col].dataType.simpleString()
-    jac = _verify_pairs_on_keys(pairs, keys_dir, id_type, threshold_u, spread=False)
+    jac = verify(pairs)
     return jac.filter(F.col("jaccard_u") >= threshold_u).distinct()
 
 

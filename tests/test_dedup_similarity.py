@@ -623,6 +623,30 @@ def test_minhash_cross_near_dups_fused_equals_staged(spark):
     assert got == exp and len(got) > 0
 
 
+def test_minhash_verify_join_equals_sidefile(spark, monkeypatch):
+    """The adaptive verify's two strategies (key-array join vs per-worker
+    side-file load) must be bit-identical on the same corpus: both run the
+    same sorted-merge intersect and IEEE jaccard math, and the strategy
+    pick (SPARK_GRAFT_MH_JOIN_VERIFY_RATIO) must never change results."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    monkeypatch.setenv("SPARK_GRAFT_MH_JOIN_VERIFY_RATIO", "1e18")  # force join
+    via_join = sorted(map(tuple, DD.minhash_near_dups(docs, threshold_u=400_000).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_MH_JOIN_VERIFY_RATIO", "0")  # force side file
+    via_side = sorted(map(tuple, DD.minhash_near_dups(docs, threshold_u=400_000).collect()))
+    assert via_join == via_side and len(via_join) > 0
+
+
+def test_minhash_band_join_no_broadcast_equal(spark, monkeypatch):
+    """broadcast_bands=False (corpus above the broadcast cap) must not
+    change the candidate set or the result."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, DD.minhash_near_dups(docs, threshold_u=400_000).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_MH_BROADCAST_MAX_DOCS", "0")
+    no_bc = sorted(map(tuple, DD.minhash_near_dups(docs, threshold_u=400_000).collect()))
+    assert base == no_bc and len(base) > 0
+
+
 def test_dup_span_flagged_matches_staged_reference(spark):
     """The digest-keyed one-shuffle flag pass must equal the r08 staged
     composition (window strings -> min-struct agg -> join-back)."""
