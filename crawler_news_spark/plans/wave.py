@@ -265,7 +265,11 @@ class WaveCrawl:
             # the full type-taxonomy seed
             if not cat.has("frontier", 0):
                 with self.prof.t(-1, "seed_write"):
-                    cat.write("frontier", 0, self.seed_frontier())
+                    # same small-delta coalesce as every other wave write:
+                    # the seed is hosts x types rows, and writing it at the
+                    # scan's default parallelism costs ~2x in file tasks
+                    cat.write("frontier", 0, self.seed_frontier(),
+                              self.cfg.write_parts)
                 # the seed is pure listings and its size is a config identity
                 # (Σ over hosts of n_types x n_seed_pages) — no wave-0
                 # collect; _run_wave's tagged-dir guard still re-counts if

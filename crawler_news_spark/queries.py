@@ -1684,9 +1684,9 @@ def _crawled_bodies(spark, web) -> DataFrame:
     # batch_pages is pure execution batching: the crawled document SET (and
     # so every downstream corpus stage) is identical at any setting — doc_id
     # is the URL and the crawl is exhaustive (verified content-hash-equal at
-    # 3/8/16/64).  16 fetches each category's pagination in one round
-    # instead of 3-page rounds: warm A/B 8.5-10 s -> 7.1-7.4 s (r09).
-    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=16, bloom_buckets=4))
+    # 3/8/16/64).  64 fetches each category's whole pagination in one round:
+    # warm A/B 8.5-10 s -> 7.1-7.4 s at 16 (r09), 8.0 -> 6.9 s at 64.
+    wc = WaveCrawl(spark, web, root, CrawlRunConfig(batch_pages=64, bloom_buckets=4))
     wc.run()
     body = wc.documents_df().select(
         "doc_id",
